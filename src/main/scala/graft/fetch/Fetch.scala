@@ -1,0 +1,234 @@
+package graft.fetch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.WarcDigest
+import graft.functions.WarcDigest.warc_sha1_b32
+import graft.web.SyntheticWeb
+
+/**
+ * Fetch + three-tier dedup + WARC-shaped row construction, reproducing the
+ * reference's record semantics Spark-natively:
+ *
+ *  - fetch          = equi-join of the scheduled frontier against the docs
+ *                     table (the synthetic "web"); payload/digest columns are
+ *                     codegen'd expressions (write.go:96-101 analog)
+ *  - dedup tiers    = local (prior-round digest_seen table + intra-round
+ *                     earliest-wins) -> doppelganger -> cdx, as a coalesce
+ *                     over left joins with the reference's precedence
+ *                     (dialer.go:707-735) and guards: payload >= threshold
+ *                     (client.go:160-162), digest not in the empty-payload
+ *                     set (dialer.go:84-89)
+ *  - revisit rows   = content truncated to the HTTP header block (the
+ *                     findEndOfHeadersOffset cut, dialer.go:800-861), profile
+ *                     `identical-payload-digest`, WARC-Truncated: length,
+ *                     refers-to fields; WARC-Refers-To (uuid) set by the
+ *                     local tier only (dedupe.go:86,133)
+ *  - pairing        = response row (seq 0) ordered before request row (seq 1),
+ *                     cross-linked via concurrent_to (dialer.go:532-592)
+ *
+ * Determinism contract (SURVEY §7.6): record ids are xxhash64-derived
+ * pseudo-uuids of (url_key, round, seq); capture time is the round epoch.
+ */
+object Fetch {
+
+  case class Config(
+      round: Int,
+      roundEpoch: Long, // capture_time = this, never now()
+      dedupSizeThreshold: Long = 2048,
+      requestUserAgent: String = "graft/0.1")
+
+  val RevisitProfile = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+  /** Deterministic pseudo-uuid "<urn:uuid:...>" from hash columns (SURVEY §7.6). */
+  def urnUuid(parts: Column*): Column = {
+    val h1 = lpad(lower(hex(xxhash64(lit("uuid-hi") +: parts: _*))), 16, "0")
+    val h2 = lpad(lower(hex(xxhash64(lit("uuid-lo") +: parts: _*))), 16, "0")
+    concat(lit("<urn:uuid:"),
+      substring(h1, 1, 8), lit("-"), substring(h1, 9, 4), lit("-"),
+      substring(h1, 13, 4), lit("-"), substring(h2, 1, 4), lit("-"),
+      substring(h2, 5, 12), lit(">"))
+  }
+
+  /**
+   * Join scheduled frontier rows against the page table ("the web") and
+   * derive payload/content/digest columns. 404s (scheduled URLs with no
+   * page) are kept with null doc columns and status 404.
+   */
+  def fetch(scheduled: DataFrame, pages: DataFrame, cfg: Config): DataFrame = {
+    val p = pages.select(
+      col("url_key").as("page_url_key"), col("doc_id"), col("spans"))
+    val joined = scheduled.join(p, scheduled("url_key") === p("page_url_key"), "left")
+    val payload = SyntheticWeb.payloadExpr(col("spans"))
+    val headers = SyntheticWeb.headersExpr(payload)
+    joined
+      .withColumn("status", when(col("doc_id").isNull, lit(404)).otherwise(lit(200)))
+      .withColumn("payload", when(col("doc_id").isNull, lit("")).otherwise(payload))
+      .withColumn("http_headers", when(col("doc_id").isNull,
+        lit("HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n")).otherwise(headers))
+      .withColumn("content", concat(col("http_headers"), col("payload")))
+      .withColumn("payload_digest", warc_sha1_b32(col("payload")))
+      .withColumn("payload_size", length(col("payload")).cast("long"))
+      .drop("page_url_key")
+  }
+
+  /**
+   * Apply the dedup tiers and emit the full warc_rows table (SURVEY §7.1)
+   * plus companion outputs. Input: `fetch` output; `digestSeen` is the
+   * prior-round local revisit table (payload_digest, record_id, target_uri,
+   * warc_date); `dopp`/`cdx` are the remote reference tables.
+   */
+  def buildWarcRows(fetched: DataFrame, digestSeen: DataFrame,
+                    dopp: Option[DataFrame], cdx: Option[DataFrame],
+                    cfg: Config): DataFrame = {
+    val captureTime = timestamp_seconds(lit(cfg.roundEpoch))
+
+    val eligible = col("payload_size") >= cfg.dedupSizeThreshold &&
+      !col("payload_digest").isin(WarcDigest.EmptyDigests: _*) && col("status") === 200
+
+    // intra-round earliest-wins order (deterministic stand-in for the
+    // reference's sequential first-insert, dialer.go:616-633)
+    val wDigest = Window.partitionBy(col("payload_digest"))
+      .orderBy(col("priority").asc, col("discovery_time").asc, col("url_key").asc)
+
+    val seen = digestSeen.select(
+      col("payload_digest").as("seen_digest"), col("record_id").as("seen_uuid"),
+      col("target_uri").as("seen_uri"), col("warc_date").as("seen_date"))
+    val dgT = dopp.map(_.select(col("digest").as("dg_digest"), col("id").as("dg_id"),
+      col("uri").as("dg_uri"), col("date_compact").as("dg_date")))
+    val cdxT = cdx.map(_.select(col("digest").as("cdx_digest"), col("uri").as("cdx_uri"),
+      col("ts_compact").as("cdx_ts")))
+
+    var df = fetched
+      .withColumn("dup_rank", when(eligible, row_number().over(wDigest)).otherwise(lit(1)))
+      .withColumn("first_url_key", first(col("url_key")).over(wDigest))
+      .withColumn("first_uri", first(col("url")).over(wDigest))
+      .join(seen, col("payload_digest") === col("seen_digest") && eligible, "left")
+    df = dgT.map(t => df.join(t, col("payload_digest") === col("dg_digest") && eligible, "left")).getOrElse(
+      df.withColumn("dg_digest", lit(null)).withColumn("dg_id", lit(null))
+        .withColumn("dg_uri", lit(null)).withColumn("dg_date", lit(null)))
+    df = cdxT.map(t => df.join(t, col("payload_digest") === col("cdx_digest") && eligible, "left")).getOrElse(
+      df.withColumn("cdx_digest", lit(null)).withColumn("cdx_uri", lit(null))
+        .withColumn("cdx_ts", lit(null)))
+
+    // tier precedence: local (prior rounds) -> doppelganger -> cdx ->
+    // intra-round local (an earlier insert this round). A remote hit applies
+    // to ALL rows of the digest (including rank 1: its original never
+    // inserts, dialer.go:616-633 runs only for non-deduped responses).
+    val dedupeSource =
+      when(col("seen_digest").isNotNull, lit("local"))
+        .when(col("dg_digest").isNotNull, lit("doppelganger"))
+        .when(col("cdx_digest").isNotNull, lit("cdx"))
+        .when(col("dup_rank") > 1, lit("local"))
+        .otherwise(lit("none"))
+
+    val intraRefUuid = urnUuid(col("first_url_key"), lit(cfg.round), lit(0))
+    val refersToUuid = // local tier only sets WARC-Refers-To (dedupe.go:86,133)
+      when(col("seen_digest").isNotNull, col("seen_uuid"))
+        .when(dedupeSource === "local" && col("dup_rank") > 1, intraRefUuid)
+        .otherwise(lit(null).cast("string"))
+    val refersToUri =
+      when(col("seen_digest").isNotNull, col("seen_uri"))
+        .when(col("dg_digest").isNotNull, col("dg_uri"))
+        .when(col("cdx_digest").isNotNull, col("cdx_uri"))
+        .when(dedupeSource === "local" && col("dup_rank") > 1, col("first_uri"))
+        .otherwise(lit(null).cast("string"))
+    val refersToDate =
+      when(col("seen_digest").isNotNull, col("seen_date"))
+        .when(col("dg_digest").isNotNull, to_timestamp(col("dg_date").cast("string"), "yyyyMMddHHmmss"))
+        .when(col("cdx_digest").isNotNull, to_timestamp(col("cdx_ts"), "yyyyMMddHHmmss"))
+        .when(dedupeSource === "local" && col("dup_rank") > 1, captureTime)
+        .otherwise(lit(null).cast("timestamp"))
+
+    val annotated = df
+      .withColumn("dedupe_source", dedupeSource)
+      .withColumn("is_revisit", dedupeSource =!= "none")
+      .withColumn("refers_to", refersToUuid)
+      .withColumn("refers_to_target_uri", refersToUri)
+      .withColumn("refers_to_date", refersToDate)
+
+    // ---- row construction: response/revisit row + request row per fetch ----
+    val respId = urnUuid(col("url_key"), lit(cfg.round), lit(0))
+    val reqId = urnUuid(col("url_key"), lit(cfg.round), lit(1))
+    val pairId = urnUuid(col("url_key"), lit(cfg.round), lit(9))
+
+    // revisit = content truncated right after the header block (X2 cut)
+    val respContent = when(col("is_revisit"), col("http_headers")).otherwise(col("content"))
+    val respRows = annotated.select(
+      respId.as("record_id"),
+      pairId.as("pair_id"),
+      when(col("is_revisit"), lit("revisit")).otherwise(lit("response")).as("warc_type"),
+      col("url_key").as("target_uri"),
+      captureTime.as("warc_date"),
+      length(respContent).cast("long").as("content_length"),
+      warc_sha1_b32(respContent).as("block_digest"),
+      col("payload_digest"),
+      reqId.as("concurrent_to"),
+      col("refers_to"), col("refers_to_target_uri"), col("refers_to_date"),
+      when(col("is_revisit"), lit(RevisitProfile)).otherwise(lit(null).cast("string")).as("profile"),
+      when(col("is_revisit"), lit("length")).otherwise(lit(null).cast("string")).as("truncated"),
+      when(col("is_revisit"), array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+        .otherwise(col("spans")).as("spans"),
+      lit(0).as("seq"), // response precedes request (dialer.go:558-560)
+      col("host"), col("dedupe_source"), col("status"),
+      col("payload_size"), col("depth"), col("dup_rank"))
+
+    val reqContent = concat(
+      lit("GET "), regexp_replace(col("url_key"), lit("^[a-z]+://[^/]+"), lit("")),
+      lit(" HTTP/1.1\r\nHost: "), col("host"),
+      lit(s"\r\nUser-Agent: ${cfg.requestUserAgent}\r\nAccept-Encoding: identity\r\n\r\n"))
+    val reqRows = annotated.select(
+      reqId.as("record_id"),
+      pairId.as("pair_id"),
+      lit("request").as("warc_type"),
+      col("url_key").as("target_uri"),
+      captureTime.as("warc_date"),
+      length(reqContent).cast("long").as("content_length"),
+      warc_sha1_b32(reqContent).as("block_digest"),
+      lit(null).cast("string").as("payload_digest"),
+      respId.as("concurrent_to"),
+      lit(null).cast("string").as("refers_to"),
+      lit(null).cast("string").as("refers_to_target_uri"),
+      lit(null).cast("timestamp").as("refers_to_date"),
+      lit(null).cast("string").as("profile"),
+      lit(null).cast("string").as("truncated"),
+      array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>").as("spans"),
+      lit(1).as("seq"),
+      col("host"), lit("none").as("dedupe_source"), col("status"),
+      lit(0L).as("payload_size"), col("depth"), lit(1).as("dup_rank"))
+
+    respRows.unionByName(reqRows)
+  }
+
+  /** New digest_seen entries this round: eligible, non-deduped originals (J2). */
+  def newDigestEntries(warcRows: DataFrame, cfg: Config): DataFrame =
+    warcRows
+      .filter(col("warc_type") === "response" && col("dedupe_source") === "none" &&
+        col("payload_size") >= cfg.dedupSizeThreshold &&
+        !col("payload_digest").isin(WarcDigest.EmptyDigests: _*))
+      // one entry per digest, earliest-wins (already rank-1 rows, but digests
+      // can repeat across 404/ineligible boundaries — keep the deterministic min)
+      .groupBy(col("payload_digest"))
+      .agg(min(struct(col("target_uri"), col("record_id"), col("warc_date"), col("payload_size"))).as("e"))
+      .select(
+        col("payload_digest"),
+        col("e.record_id").as("record_id"),
+        col("e.target_uri").as("target_uri"),
+        col("e.warc_date").as("warc_date"),
+        col("e.payload_size").as("size"))
+
+  /** Outlink extraction: the engine's generator (SURVEY §2.9) — explode link spans. */
+  def outlinks(fetched: DataFrame, cfg: Config): DataFrame =
+    fetched
+      .filter(col("status") === 200)
+      .select(col("url_key").as("via"), col("priority"), col("depth"),
+        explode(filter(col("spans"), s => s.getField("kind") === "link")).as("l"))
+      .select(
+        col("l.text").as("url"),
+        least(col("priority") + 1, lit(9)).cast("int").as("priority"),
+        timestamp_seconds(lit(cfg.roundEpoch)).as("discovery_time"),
+        (col("depth") + 1).cast("int").as("depth"),
+        col("via"))
+}

@@ -1,0 +1,117 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlCanonicalize.url_canonicalize
+import graft.seen.{MembershipFilter, SeenSetOps}
+
+/**
+ * The politeness-ordered frontier scheduler (SURVEY §2.6 W5) — the component
+ * the reference *lacks* (gowarc bounds concurrency only by caller-side wait
+ * groups, extract.go:47,76); semantics are built Spark-natively:
+ *
+ *  1. canonicalize (RFC 3986) -> url_key; host extraction
+ *  2. intra-round best-candidate per url_key (priority, discovery, url)
+ *  3. robots.txt gate (RFC 9309 longest-match, broadcast rules table)
+ *  4. seen-set anti-join behind the Bloom/cuckoo pre-filter
+ *  5. per-host budget = ranking window row_number() <= budget (the top-k)
+ *  6. politeness layout: hash(host)-keyed repartition + secondary sort
+ *     (host, priority, discovery_time, url_key) — a distributed priority
+ *     queue: all of a host's fetches land in one task, in priority order.
+ *
+ * Skew note (SURVEY §7.5.6): the per-host budget caps what any hot host can
+ * contribute to a round, and the *fetch/digest* work downstream re-partitions
+ * by url_key (uniform), so a hot host never serializes a round; AQE skew-join
+ * handles the join side.
+ */
+object Scheduler {
+
+  case class Config(
+      perHostBudget: Int = 100,
+      maxPerRound: Long = Long.MaxValue,
+      numSlots: Int = 32, // politeness partitions (= executor-task slots)
+      salt: Int = 0) // deterministic per-round slot salt
+
+  /** Raw candidates -> canonicalized, deduped-within-round frontier rows. */
+  def canonicalize(candidates: DataFrame): DataFrame = {
+    val withKey = candidates
+      .withColumn("url_key", url_canonicalize(col("url")))
+      .withColumn("host", parse_url(col("url_key"), lit("HOST")))
+    // best candidate per url_key: lowest priority value, then earliest
+    // discovery, then lexicographic url — deterministic under any parallelism
+    val w = Window.partitionBy(col("url_key"))
+      .orderBy(col("priority").asc, col("discovery_time").asc, col("url").asc)
+    withKey
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /**
+   * RFC 9309 gate: a URL is fetchable unless the longest matching rule for
+   * its host is a disallow. Rules are tiny (per-host config) -> broadcast
+   * join; longest-match selection is a higher-order aggregate over the
+   * per-host rule array (no shuffle beyond the broadcast).
+   */
+  def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
+    val rules = robots.groupBy("host").agg(
+      collect_list(struct(col("rule_type"), col("path_prefix"))).as("rules"))
+    val path = regexp_replace(col("url_key"), lit("^[a-z]+://[^/]+"), lit(""))
+    frontier
+      .join(broadcast(rules), Seq("host"), "left")
+      .withColumn("__path", path)
+      // longest matching prefix wins; allow by default (RFC 9309 §2.2.2)
+      .withColumn("__verdict", when(col("rules").isNull, lit("allow")).otherwise(
+        aggregate(
+          filter(col("rules"), r => col("__path").startsWith(r.getField("path_prefix"))),
+          struct(lit(-1).as("len"), lit("allow").as("t")),
+          (acc, r) => when(length(r.getField("path_prefix")) > acc.getField("len"),
+              struct(length(r.getField("path_prefix")).as("len"), r.getField("rule_type").as("t")))
+            .otherwise(acc)).getField("t")))
+      .filter(col("__verdict") === "allow")
+      .drop("rules", "__path", "__verdict")
+  }
+
+  /**
+   * Full scheduling pass for one round. Returns rows laid out for fetching:
+   * repartitioned by politeness slot, sorted (host, priority, discovery,
+   * url_key) within partitions, budgeted per host.
+   */
+  def schedule(spark: SparkSession,
+               candidates: DataFrame,
+               seenKeys: DataFrame, // exact seen table: url_key column
+               seenFilter: Option[MembershipFilter],
+               robots: Option[DataFrame],
+               cfg: Config): DataFrame = {
+    val canon = canonicalize(candidates)
+    val polite = robots.map(r => robotsFilter(canon, r)).getOrElse(canon)
+    val fresh = SeenSetOps.notSeen(polite, "url_key", seenFilter, seenKeys)
+
+    // per-host budget: ranking-window top-k (SURVEY W5)
+    val wHost = Window.partitionBy(col("host"))
+      .orderBy(col("priority").asc, col("discovery_time").asc, col("url_key").asc)
+    val budgeted = fresh
+      .withColumn("host_seq", row_number().over(wHost))
+      .filter(col("host_seq") <= cfg.perHostBudget)
+
+    val capped =
+      if (cfg.maxPerRound == Long.MaxValue) budgeted
+      else {
+        // global cap with deterministic preference: priority, then host fairness
+        val wAll = Window.orderBy(col("priority").asc, col("host_seq").asc,
+          col("discovery_time").asc, col("url_key").asc)
+        budgeted.withColumn("__g", row_number().over(wAll))
+          .filter(col("__g") <= cfg.maxPerRound).drop("__g")
+      }
+
+    // politeness layout: one slot per host (keeps a host's fetches serial
+    // within a task), deterministic slot salt per round
+    capped
+      .withColumn("fetch_slot",
+        pmod(xxhash64(lit(cfg.salt), col("host")), lit(cfg.numSlots.toLong)).cast("int"))
+      .repartition(cfg.numSlots, col("fetch_slot"))
+      .sortWithinPartitions(col("host"), col("priority"), col("discovery_time"), col("url_key"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fetch.Fetch
+import graft.frontier.Scheduler
+import graft.seen.SeenSetOps
+import graft.seen.SeenSetOps.ShardedFilters
+import graft.snapshot.SnapshotStore
+
+/**
+ * The crawl loop: batch-incremental rounds (SURVEY §3.1 Spark lifecycle).
+ * Each round is one closed dataflow — schedule -> fetch -> dedup -> emit
+ * WARC rows -> extract outlinks -> update the seen set — committed as one
+ * snapshot, the analog of the reference's RecordBatch + feedback-ack +
+ * rotate/rename pipeline (warc.go:149-256) with rounds as the batch unit.
+ *
+ * Determinism: capture time = baseEpoch + round; all ids hash-derived; the
+ * per-round filter/seen/frontier states are pure functions of the inputs, so
+ * `local[8]` and `local[32]` converge to identical tables (asserted in
+ * CrawlSpec).
+ */
+object Crawl {
+
+  case class Config(
+      maxRounds: Int = 3,
+      perHostBudget: Int = 100,
+      maxPerRound: Long = Long.MaxValue,
+      numSlots: Int = 32,
+      dedupSizeThreshold: Long = 64, // synthetic payloads are small; ref default 2048
+      numShards: Int = 16,
+      bloomBlocksPerShard: Int = 256, // 256 blocks * 512 bits ~ 16 KiB/shard locally
+      cuckooBucketsPerShard: Int = 1 << 14,
+      baseEpoch: Long = 1700000000L,
+      useBloomPrefilter: Boolean = true)
+
+  case class RoundStats(round: Int, scheduled: Long, responses: Long, revisits: Long,
+                        revisitsByTier: Map[String, Long], bytes: Long, outlinks: Long)
+
+  case class Result(rounds: Seq[RoundStats], warcRows: DataFrame, seenKeys: DataFrame,
+                    digestSeen: DataFrame, totalScheduled: Long)
+
+  private def emptyDigestSeen(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("payload_digest", StringType), StructField("record_id", StringType),
+        StructField("target_uri", StringType), StructField("warc_date", TimestampType),
+        StructField("size", LongType))))
+  }
+
+  def run(spark: SparkSession,
+          pages: DataFrame,
+          seeds: DataFrame,
+          robots: Option[DataFrame],
+          dopp: Option[DataFrame],
+          cdx: Option[DataFrame],
+          cfg: Config,
+          store: Option[SnapshotStore] = None): Result = {
+
+    // resume from the last committed snapshot when a store is present
+    val resumed = store.flatMap(s => s.latest)
+    var round = resumed.map(_.round + 1).getOrElse(0)
+    var frontier = resumed
+      .flatMap(_ => store.get.read(spark, "frontier"))
+      .getOrElse(graft.web.SyntheticWeb.seedFrontier(seeds)
+        .select(col("url"), col("priority"), col("discovery_time"), col("depth"), col("via")))
+    var seenKeys = resumed.flatMap(_ => store.get.read(spark, "url_seen"))
+      .getOrElse(spark.range(0).select(col("id").cast("string").as("url_key")).limit(0))
+    var digestSeen = resumed.flatMap(_ => store.get.read(spark, "digest_seen"))
+      .getOrElse(emptyDigestSeen(spark))
+    var filters: Option[ShardedFilters] = resumed.flatMap { _ =>
+      store.get.read(spark, "filters").map { df =>
+        val rows = df.collect()
+        val bloom = Array.fill(cfg.numShards)(graft.seen.BlockedBloom(cfg.bloomBlocksPerShard).serialize())
+        val cuckoo = Array.fill(cfg.numShards)(graft.seen.CuckooFilter(cfg.cuckooBucketsPerShard).serialize())
+        rows.foreach { r =>
+          val s = r.getAs[Int]("shard")
+          bloom(s) = r.getAs[Array[Byte]]("bloom"); cuckoo(s) = r.getAs[Array[Byte]]("cuckoo")
+        }
+        ShardedFilters(cfg.numShards, bloom, cuckoo)
+      }
+    }
+
+    val stats = scala.collection.mutable.Buffer[RoundStats]()
+    var allWarc: Option[DataFrame] = store.flatMap(_.read(spark, "warc_rows"))
+    var totalScheduled = resumed.map(_.counts.getOrElse("total_scheduled", 0L)).getOrElse(0L)
+    var continue = true
+
+    while (continue && round < cfg.maxRounds) {
+      val fcfg = Fetch.Config(round, cfg.baseEpoch + round, cfg.dedupSizeThreshold)
+
+      val scheduled = Scheduler.schedule(spark, frontier, seenKeys,
+        if (cfg.useBloomPrefilter) filters.map(_.bloomFilter) else None,
+        robots, Scheduler.Config(cfg.perHostBudget, cfg.maxPerRound, cfg.numSlots, salt = round))
+        .cache()
+      val nScheduled = scheduled.count()
+
+      if (nScheduled == 0) {
+        scheduled.unpersist()
+        continue = false
+      } else {
+        val fetched = Fetch.fetch(scheduled, pages, fcfg).cache()
+        val warc = Fetch.buildWarcRows(fetched, digestSeen, dopp, cdx, fcfg)
+          .withColumn("round", lit(round)).cache()
+        val newDigests = Fetch.newDigestEntries(warc, fcfg)
+        val links = Fetch.outlinks(fetched, fcfg)
+
+        // metrics: grouped-sum reproduction of the reference's atomic
+        // counters (warc.go:62-73; A1): per-tier revisit counts and bytes
+        val tierRows = warc.filter(col("seq") === 0)
+          .groupBy("dedupe_source")
+          .agg(count(lit(1)).as("n"), sum("payload_size").as("bytes"))
+          .collect()
+        val byTier = tierRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bytes = tierRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+        val nResp = byTier.getOrElse("none", 0L)
+        val nRevisit = byTier.filterKeys(_ != "none").values.sum
+
+        val newSeen = scheduled.select(col("url_key"))
+        val newFilters = SeenSetOps.buildFilters(newSeen, "url_key", cfg.numShards,
+          cfg.bloomBlocksPerShard, cfg.cuckooBucketsPerShard)
+        filters = Some(filters.map(_.merge(newFilters)).getOrElse(newFilters))
+        seenKeys = seenKeys.unionByName(newSeen)
+        digestSeen = digestSeen.unionByName(newDigests.select(
+          col("payload_digest"), col("record_id"), col("target_uri"), col("warc_date"), col("size")))
+        frontier = links
+        totalScheduled += nScheduled
+        allWarc = Some(allWarc.map(_.unionByName(warc)).getOrElse(warc))
+        val nLinks = frontier.count()
+        stats += RoundStats(round, nScheduled, nResp, nRevisit, byTier - "none", bytes, nLinks)
+
+        store.foreach { s =>
+          import spark.implicits._
+          val filterDf = filters.get.bloom.indices
+            .map(i => (i, filters.get.bloom(i), filters.get.cuckoo(i)))
+            .toDF("shard", "bloom", "cuckoo")
+          val metricsDf = (byTier.toSeq :+ ("bytes" -> bytes))
+            .toDF("metric", "value").withColumn("round", lit(round))
+          s.commit(round, Map(
+            "warc_rows" -> warc,
+            "url_seen" -> newSeen,
+            "digest_seen" -> newDigests,
+            "frontier" -> frontier,
+            "filters" -> filterDf,
+            "metrics" -> metricsDf,
+            "fetch_log" -> warc.filter(col("seq") === 0).select(
+              col("target_uri"), col("host"), col("status"),
+              col("content_length").as("bytes"), col("dedupe_source"), col("truncated"), col("round"))),
+            Map("total_scheduled" -> totalScheduled, "round_scheduled" -> nScheduled))
+          // rebind state to committed files (truncates lineage, enables resume)
+          seenKeys = s.read(spark, "url_seen").get
+          digestSeen = s.read(spark, "digest_seen").get
+          frontier = s.read(spark, "frontier").get
+          allWarc = s.read(spark, "warc_rows")
+        }
+
+        round += 1
+      }
+    }
+
+    Result(stats.toSeq, allWarc.getOrElse(spark.emptyDataFrame), seenKeys, digestSeen, totalScheduled)
+  }
+}

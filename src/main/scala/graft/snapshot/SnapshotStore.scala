@@ -1,0 +1,129 @@
+package graft.snapshot
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.JavaConverters._
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Iceberg-shaped snapshot layer (SURVEY §7.0/§7.5): immutable parquet data
+ * files + JSON manifests with snapshot-id / parent-id / per-table file lists
+ * / row counts / metrics. No Iceberg runtime ships offline, so this layer
+ * supplies the properties the north rule uses — atomic commit, resumable
+ * checkpoints, per-partition lineage — behind an interface an Iceberg
+ * catalog could replace.
+ *
+ * Commit protocol = the reference's `.open` -> rename-on-close handoff
+ * (warc.go:189,244-248) lifted to table level: data files land first, then
+ * the manifest is written to a temp name and atomically renamed. A crash
+ * mid-round leaves the previous manifest intact (the mend analog,
+ * mend.go:298-375: "truncate to last valid"); orphan data files are swept by
+ * [[vacuum]].
+ *
+ * Tables are append-mode (warc_rows, fetch_log, metrics, lineage, url_seen,
+ * digest_seen: manifest carries the cumulative file list) or replace-mode
+ * (frontier, filters: only the latest round's files).
+ */
+class SnapshotStore(val root: String) {
+  private val mapper = new ObjectMapper()
+  private val manifestsDir = Paths.get(root, "manifests")
+  private val dataDir = Paths.get(root, "data")
+  Files.createDirectories(manifestsDir)
+  Files.createDirectories(dataDir)
+
+  val ReplaceTables: Set[String] = Set("frontier", "filters")
+
+  case class Manifest(version: Int, round: Int, parent: Int,
+                      files: Map[String, Seq[String]],
+                      counts: Map[String, Long])
+
+  def latest: Option[Manifest] = {
+    val versions = Files.list(manifestsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted.reverse
+    versions.iterator.flatMap(v => readManifest(v)).toStream.headOption
+  }
+
+  private def readManifest(version: Int): Option[Manifest] =
+    try {
+      val node = mapper.readTree(manifestsDir.resolve(s"v$version.json").toFile)
+      val files = node.get("tables").fields().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+      val counts = node.get("counts").fields().asScala.map { e =>
+        e.getKey -> e.getValue.asLong()
+      }.toMap
+      Some(Manifest(version, node.get("round").asInt(), node.get("parent").asInt(), files, counts))
+    } catch { case _: Throwable => None } // partial/corrupt manifest = not committed
+
+  /** Write round outputs and commit atomically. Returns the new manifest. */
+  def commit(round: Int, tables: Map[String, DataFrame],
+             metrics: Map[String, Long] = Map.empty): Manifest = {
+    val parent = latest
+    val version = parent.map(_.version + 1).getOrElse(0)
+    val written = mutable.Map[String, Seq[String]]()
+    tables.foreach { case (name, df) =>
+      val dir = dataDir.resolve(name).resolve(s"r$round")
+      df.write.mode("overwrite").parquet(dir.toString)
+      val files = Files.walk(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      written(name) = files
+    }
+    // cumulative file lists for append tables
+    val prevFiles = parent.map(_.files).getOrElse(Map.empty)
+    val allNames = (prevFiles.keySet ++ written.keySet).toSeq.sorted
+    val files = allNames.map { name =>
+      val prev = if (ReplaceTables.contains(name)) Seq.empty else prevFiles.getOrElse(name, Seq.empty)
+      name -> (prev ++ written.getOrElse(name, Seq.empty))
+    }.toMap
+
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    node.put("round", round)
+    node.put("parent", parent.map(_.version).getOrElse(-1))
+    node.put("committed_round_epoch", round.toLong) // logical time, never wall clock
+    val tablesNode = node.putObject("tables")
+    files.foreach { case (name, fs) =>
+      val arr: ArrayNode = tablesNode.putArray(name)
+      fs.foreach(arr.add)
+    }
+    val countsNode = node.putObject("counts")
+    metrics.foreach { case (k, v) => countsNode.put(k, v) }
+    // lineage: which files this round added, per table (per-partition lineage)
+    val lineageNode = node.putObject("lineage")
+    written.foreach { case (name, fs) =>
+      val arr = lineageNode.putArray(name); fs.foreach(arr.add)
+    }
+
+    val tmp = manifestsDir.resolve(s".tmp-v$version.json")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    Files.move(tmp, manifestsDir.resolve(s"v$version.json"),
+      StandardCopyOption.ATOMIC_MOVE) // the atomic ".open"->final rename
+    Manifest(version, round, parent.map(_.version).getOrElse(-1), files,
+      metrics)
+  }
+
+  /** Read a table as of the latest snapshot (file-list scoped scan). */
+  def read(spark: SparkSession, table: String): Option[DataFrame] =
+    latest.flatMap(m => m.files.get(table)).filter(_.nonEmpty)
+      .map(files => spark.read.parquet(files: _*))
+
+  /** Delete data files not referenced by the latest manifest (mend analog). */
+  def vacuum(): Seq[String] = {
+    val referenced = latest.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
+    val removed = mutable.Buffer[String]()
+    if (Files.exists(dataDir)) {
+      Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => !referenced.contains(p.toString))
+        .foreach { p => Files.delete(p); removed += p.toString }
+    }
+    removed.toSeq
+  }
+}
