@@ -129,14 +129,13 @@ final class CuckooFilter(val numBuckets: Int, val table: Array[Short]) extends M
     table(base) == fp || table(base + 1) == fp || table(base + 2) == fp || table(base + 3) == fp
   }
 
-  /** Insert; returns false when the filter is saturated (caller = first-wins cache full). */
-  def insert(h: Long): Boolean = {
-    var fp = fpOf(h)
-    val i1 = i1Of(h)
-    val i2 = altOf(i1, fp)
-    if (bucketHas(i1, fp) || bucketHas(i2, fp)) return true // idempotent set semantics
-    if (tryPlace(i1, fp) || tryPlace(i2, fp)) return true
-    var i = if (((fp & 1) == 0)) i1 else i2 // deterministic start side
+  /** Place fp reachable from bucket i (i or alt(i)), evicting if needed. */
+  private def insertFp(i0: Int, fp0: Short): Boolean = {
+    val alt0 = altOf(i0, fp0)
+    if (bucketHas(i0, fp0) || bucketHas(alt0, fp0)) return true // idempotent set semantics
+    if (tryPlace(i0, fp0) || tryPlace(alt0, fp0)) return true
+    var fp = fp0
+    var i = if ((fp & 1) == 0) i0 else alt0 // deterministic start side
     var n = 0
     while (n < 500) {
       val slot = ((fp & 0xffff) + n) & 3 // deterministic victim slot
@@ -151,6 +150,9 @@ final class CuckooFilter(val numBuckets: Int, val table: Array[Short]) extends M
     }
     false
   }
+
+  /** Insert; returns false when the filter is saturated (caller = first-wins cache full). */
+  def insert(h: Long): Boolean = insertFp(i1Of(h), fpOf(h))
 
   override def mightContain(h: Long): Boolean = {
     val fp = fpOf(h)
@@ -183,11 +185,9 @@ final class CuckooFilter(val numBuckets: Int, val table: Array[Short]) extends M
       var s = 0
       while (s < 4) {
         val fp = other.table(b * 4 + s)
-        if (fp != 0 && !bucketHas(b, fp) && !bucketHas(altOf(b, fp), fp)) {
-          if (!tryPlace(b, fp) && !tryPlace(altOf(b, fp), fp)) {
-            // saturated: drop (bounded-capacity cache semantics — first wins)
-          }
-        }
+        // full eviction-path insert; only true saturation drops (bounded-
+        // capacity first-wins cache semantics, client.go:143-146)
+        if (fp != 0) insertFp(b, fp)
         s += 1
       }
       b += 1
