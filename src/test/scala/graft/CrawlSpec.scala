@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Crawl
+import graft.snapshot.SnapshotStore
+import graft.web.SyntheticWeb
+
+/**
+ * Crawl-round semantics, mirroring the reference's e2e dedup tests:
+ *  - first fetch of a payload inserts, duplicate becomes a headers-only
+ *    revisit (client_test.go:844-914 arithmetic)
+ *  - dedup counters from the metrics aggregation match direct recounts
+ *  - identical outputs at different parallelism (goleak/CI-isolation analog,
+ *    SURVEY §5 "deterministic-under-parallelism")
+ *  - resume from snapshot reproduces the uninterrupted run (mend analog)
+ */
+class CrawlSpec extends SparkSpec {
+
+  private val N = 400L
+
+  private def world(s: SparkSession) = (
+    SyntheticWeb.pages(s, N),
+    SyntheticWeb.seeds(s, 150, N),
+    SyntheticWeb.robots(s),
+    SyntheticWeb.doppelganger(s, N),
+    SyntheticWeb.cdx(s, N))
+
+  private def cfg(rounds: Int) = Crawl.Config(maxRounds = rounds, perHostBudget = 40,
+    numSlots = 8, dedupSizeThreshold = 32, numShards = 4)
+
+  test("revisit construction: headers-only content, original referenced") {
+    val (pages, seeds, robots, dopp, cdx) = world(spark)
+    val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(2))
+    val warc = res.warcRows.cache()
+
+    // local revisits must reference an existing response's uuid, and the pair
+    // (referenced response, revisit) must share payload_digest with the
+    // revisit's content strictly shorter (headers-only truncation: the
+    // {26872, 132} length-shape of client_test.go:896)
+    val resp = warc.filter(col("warc_type") === "response").select(
+      col("record_id").as("orig_id"), col("payload_digest").as("orig_digest"),
+      col("content_length").as("orig_len"))
+    val localRevisits = warc.filter(col("warc_type") === "revisit" && col("refers_to").isNotNull)
+    val joined = localRevisits.join(resp, localRevisits("refers_to") === resp("orig_id"), "left").cache()
+    assert(joined.count() > 0, "no local revisits produced")
+    assert(joined.filter(col("orig_id").isNull).count() == 0, "revisit refers_to a missing record")
+    assert(joined.filter(col("payload_digest") =!= col("orig_digest")).count() == 0,
+      "revisit digest mismatch with original")
+    assert(joined.filter(col("content_length") >= col("orig_len")).count() == 0,
+      "revisit content not truncated (must be headers-only)")
+
+    // remote-tier revisits leave WARC-Refers-To empty (dedupe.go:86,133)
+    val badRemote = warc.filter(col("dedupe_source").isin("cdx", "doppelganger") &&
+      col("refers_to").isNotNull).count()
+    assert(badRemote == 0, "remote-tier revisit must not set refers_to uuid")
+
+    // counter arithmetic (A1): responses + revisits == fetches (seq 0 rows)
+    val seq0 = warc.filter(col("seq") === 0).count()
+    val nResp = warc.filter(col("warc_type") === "response").count()
+    val nRev = warc.filter(col("warc_type") === "revisit").count()
+    assert(nResp + nRev == seq0)
+    assert(res.rounds.map(s => s.responses + s.revisits).sum == seq0)
+    joined.unpersist(); warc.unpersist()
+  }
+
+  test("robots disallow is enforced (RFC 9309 longest-match)") {
+    val (pages, seeds, robots, _, _) = world(spark)
+    val res = Crawl.run(spark, pages, seeds, Some(robots), None, None, cfg(2))
+    // host0 disallows /p2 prefix: no fetched url on host0 may start with /p2
+    val viol = res.warcRows.filter(col("seq") === 0 &&
+      col("host") === "host0.example" &&
+      col("target_uri").startsWith("http://host0.example/p2")).count()
+    assert(viol == 0, s"$viol robots violations on host0")
+    // but host0 pages outside /p2 are fetched (disallow is not a host ban)
+    assert(res.warcRows.filter(col("seq") === 0 && col("host") === "host0.example").count() > 0)
+  }
+
+  test("per-host budget caps every host per round") {
+    val (pages, seeds, robots, dopp, cdx) = world(spark)
+    val budget = 10
+    val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx),
+      cfg(2).copy(perHostBudget = budget))
+    val over = res.warcRows.filter(col("seq") === 0)
+      .groupBy("round", "host").count().filter(col("count") > budget).count()
+    assert(over == 0, "per-host budget exceeded")
+  }
+
+  test("deterministic under parallelism: local shuffle-partition counts do not change results") {
+    val (pages, seeds, robots, dopp, cdx) = world(spark)
+    def runWith(parts: String): (Array[String], Array[String]) = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx),
+          cfg(2).copy(numSlots = parts.toInt))
+        val rows = res.warcRows
+          .select(col("record_id"), col("warc_type"), col("target_uri"),
+            col("content_length"), col("block_digest"),
+            coalesce(col("payload_digest"), lit("-")),
+            coalesce(col("refers_to"), lit("-")), col("dedupe_source"))
+          .collect().map(_.mkString("|")).sorted
+        val seen = res.seenKeys.collect().map(_.getString(0)).sorted
+        (rows, seen)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    val (rowsA, seenA) = runWith("3")
+    val (rowsB, seenB) = runWith("13")
+    assert(seenA.sameElements(seenB), "url_seen set differs across parallelism")
+    assert(rowsA.length == rowsB.length, s"row counts differ: ${rowsA.length} vs ${rowsB.length}")
+    rowsA.zip(rowsB).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"warc row $i differs:\n  $a\n  $b")
+    }
+  }
+
+  test("resume from snapshot reproduces the uninterrupted run (mend analog)") {
+    val (pages, seeds, robots, dopp, cdx) = world(spark)
+    // uninterrupted: 3 rounds straight
+    val full = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(3))
+    // interrupted: 2 rounds committed, then a new Crawl.run resumes round 2
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val store = new SnapshotStore(dir)
+    Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(2), Some(store))
+    val resumed = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(3), Some(store))
+
+    def fingerprint(df: DataFrame): Array[String] =
+      df.select(col("record_id"), col("warc_type"), col("target_uri"),
+        col("content_length"), col("block_digest"), col("dedupe_source"))
+        .collect().map(_.mkString("|")).sorted
+    val a = fingerprint(full.warcRows)
+    val b = fingerprint(resumed.warcRows)
+    assert(a.length == b.length, s"resumed row count ${b.length} != full ${a.length}")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"resume divergence:\n  $x\n  $y") }
+    // seen sets equal
+    val sa = full.seenKeys.collect().map(_.getString(0)).sorted
+    val sb = resumed.seenKeys.collect().map(_.getString(0)).sorted
+    assert(sa.sameElements(sb), "seen set diverged after resume")
+  }
+
+  test("partial (uncommitted) manifest is ignored on resume") {
+    val (pages, seeds, robots, dopp, cdx) = world(spark)
+    val dir = Files.createTempDirectory("graft-snap2").toString
+    val store = new SnapshotStore(dir)
+    Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(1), Some(store))
+    val good = store.latest.get
+    // simulate a crash mid-commit: garbage manifest with a higher version
+    Files.writeString(java.nio.file.Paths.get(dir, "manifests", s"v${good.version + 1}.json"),
+      "{ truncated garbage")
+    assert(store.latest.get.version == good.version, "corrupt manifest not skipped")
+  }
+}
