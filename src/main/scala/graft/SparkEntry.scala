@@ -1,13 +1,546 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlCanonicalize.url_canonicalize
+import graft.functions.WarcDigest.warc_sha256_hex
+import graft.ops.{AnnOps, DedupOps, Multimodal, TextOps}
+import graft.seen.{FilterExprs, SeenSetOps}
+import graft.web.SyntheticWeb
+
+/**
+ * Driver contract (see SURVEY.md §7): one `queries` entry per implemented
+ * operator family, with a DuckDB-equivalent `oracleSql` wherever the
+ * semantics are ANSI-SQL-expressible. Column names and row order are aligned
+ * on both sides (every query ends in an explicit ORDER BY).
+ *
+ * Cross-engine determinism rules used throughout:
+ *  - money/double sums ride as `cast(round(x*100) as bigint)` cents (exact)
+ *  - float embeddings are quantized to ints before dot products (exact)
+ *  - every output is null-free and explicitly ordered
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: one politeness-scheduled, dedup-tiered crawl round over the
+    * synthetic interleaved docs web. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val n = 300L
+    val res = graft.jobs.Crawl.run(spark,
+      SyntheticWeb.pages(spark, n), SyntheticWeb.seeds(spark, 100, n),
+      Some(SyntheticWeb.robots(spark)), Some(SyntheticWeb.doppelganger(spark, n)),
+      Some(SyntheticWeb.cdx(spark, n)),
+      graft.jobs.Crawl.Config(maxRounds = 1, perHostBudget = 50, numSlots = 8,
+        dedupSizeThreshold = 32, numShards = 4))
+    res.warcRows
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational core (scan/filter/project/agg/join/window/set ops) ---
+
+    "q01_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp") && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q02_agg_returnflag" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q03_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q04_antijoin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "q05_semijoin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "q06_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "q07_union_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("value") > 180).select(col("event_type"), col("user_id"))
+        .union(e.filter(col("event_type") === "signup").select(col("event_type"), col("user_id")))
+        .distinct()
+        .orderBy("event_type", "user_id")
+    }),
+
+    "q08_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    }),
+
+    "q09_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q10_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("hour", "event_type")
+    }),
+
+    "q11_region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy("r_name")
+    }),
+
+    // --- crawl-semantics surrogates over the `documents` table (DuckDB-checked) ---
+
+    "q12_exact_dedup" -> ((s, dir) => {
+      // earliest-wins exact dedup on a content digest (J2 first-wins insert)
+      val d = t(s, dir, "documents").withColumn("digest", md5(substring(col("text"), 1, 30)))
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("digest"))
+        .orderBy("digest")
+    }),
+
+    "q13_revisit_counters" -> ((s, dir) => {
+      // response/revisit classification + the A1 counter arithmetic
+      val d = t(s, dir, "documents").withColumn("digest", md5(substring(col("text"), 1, 30)))
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
+      d.withColumn("warc_type", when(row_number().over(w) === 1, "response").otherwise("revisit"))
+        .groupBy(col("warc_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("bytes"))
+        .orderBy("warc_type")
+    }),
+
+    "q14_dedup_tiers" -> ((s, dir) => {
+      // three-tier precedence local -> doppelganger -> cdx (dialer.go:707-735)
+      val d = t(s, dir, "documents").withColumn("digest", md5(col("text")))
+      val local = d.filter(col("doc_id") % 10 === 0).select(col("digest").as("l_digest")).distinct()
+      val dopp = d.filter(col("doc_id") % 10 === 1).select(col("digest").as("d_digest")).distinct()
+      val cdx = d.filter(col("doc_id") % 10 === 2).select(col("digest").as("c_digest")).distinct()
+      d.join(broadcast(local), col("digest") === col("l_digest"), "left")
+        .join(broadcast(dopp), col("digest") === col("d_digest"), "left")
+        .join(broadcast(cdx), col("digest") === col("c_digest"), "left")
+        .select(col("doc_id"),
+          when(col("l_digest").isNotNull, "local")
+            .when(col("d_digest").isNotNull, "doppelganger")
+            .when(col("c_digest").isNotNull, "cdx")
+            .otherwise("none").as("tier"))
+        .orderBy("doc_id")
+    }),
+
+    "q15_seen_antijoin" -> ((s, dir) => {
+      // the URL-seen NOT EXISTS, executed through the bloom prefilter +
+      // exact anti-join (same result as plain NOT EXISTS — no false negatives)
+      val d = t(s, dir, "documents").withColumn("url_key", md5(col("text")))
+      val seen = d.filter(col("doc_id") % 3 === 0).select("url_key")
+      val filters = SeenSetOps.buildFilters(seen, "url_key", numShards = 4,
+        blocksPerShard = 64, cuckooBucketsPerShard = 1 << 12)
+      SeenSetOps.notSeen(d, "url_key", Some(filters.bloomFilter), seen)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q16_host_budget" -> ((s, dir) => {
+      // per-host politeness budget = ranking-window top-k (W5)
+      val d = t(s, dir, "documents")
+        .withColumn("host", concat(lit("h"), (col("doc_id") % 7).cast("string")))
+      val w = Window.partitionBy(col("host")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      d.withColumn("host_seq", row_number().over(w))
+        .filter(col("host_seq") <= 5)
+        .select(col("host"), col("doc_id"), col("host_seq"))
+        .orderBy("host", "host_seq")
+    }),
+
+    "q17_url_canonicalize" -> ((s, dir) => {
+      // RFC 3986 canonicalization of denormalized URLs (custom expression);
+      // oracle constructs the expected canonical form directly
+      t(s, dir, "documents")
+        .withColumn("raw", concat(lit("HTTP://HOST"), (col("doc_id") % 20).cast("string"),
+          lit(".EXAMPLE:80/a/../%70"), col("doc_id").cast("string"),
+          lit("#frag")))
+        .select(col("doc_id"), url_canonicalize(col("raw")).as("url_key"))
+        .orderBy("doc_id")
+    }),
+
+    "q18_digest_sha256" -> ((s, dir) => {
+      // gowarc-format sha256 digest column (custom expression, X4)
+      t(s, dir, "documents")
+        .select(col("doc_id"), warc_sha256_hex(col("text")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
+    "q19_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars_nospace"))
+        .orderBy("doc_id")
+    }),
+
+    "q20_stopword_langsig" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(sum(TextOps.stopwordHits(col("text"), TextOps.StopwordsEn)).cast("long").as("en_hits"),
+          sum(TextOps.stopwordHits(col("text"), TextOps.StopwordsDe)).cast("long").as("de_hits"),
+          sum(TextOps.stopwordHits(col("text"), TextOps.StopwordsFr)).cast("long").as("fr_hits"),
+          sum(TextOps.stopwordHits(col("text"), TextOps.StopwordsEs)).cast("long").as("es_hits"))
+        .orderBy("lang")
+    }),
+
+    "q21_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 3))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q22_ann_threshold" -> ((s, dir) => {
+      // brute-force cosine similarity search on integer-quantized embeddings
+      // (quantization => exact arithmetic, cross-engine deterministic)
+      val e = t(s, dir, "embeddings")
+        .withColumn("vq", transform(col("embedding"), x => round(x * 1000, 0).cast("double")))
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("vq").as("qv"))
+      e.select(col("vec_id").as("id"), col("vq").as("v"))
+        .join(broadcast(q))
+        .filter(col("qid") =!= col("id"))
+        .withColumn("cosine", DedupOps.cosineSim(col("v"), col("qv")))
+        .filter(col("cosine") >= 0.25)
+        .select(col("qid"), col("id"), round(col("cosine"), 3).as("cosine"))
+        .orderBy("qid", "id")
+    }),
+
+    "q29_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30 min) — the streaming-state analog in batch
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = e.withColumn("prev_ms", lag(unix_millis(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || unix_millis(col("ts").cast("timestamp")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+      gaps.withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "q30_fingerprint_distinct" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))).as("n_distinct"))
+        .orderBy("lang")
+    }),
+
+    // --- engine-native ops (no SQL equivalent -> rows-only driver check) ---
+
+    "q23_minhash_lsh" -> ((s, dir) => {
+      DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, numHashes = 32, bandsCount = 8, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q24_simhash" -> ((s, dir) => {
+      DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q25_embedding_neardup" -> ((s, dir) => {
+      DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numPlanes = 8, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q26_ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnOps.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    "q27_ann_brute_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnOps.cosineTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "q28_media_features" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(SyntheticWeb.pages(s, 500))
+      Multimodal.extractFeatures(s, media, dim = 16).toDF()
+        .select(col("media_id"), col("kind"), col("ok"), size(col("features")).as("dim"), col("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    "q31_crawl_round" -> ((s, dir) => {
+      val n = 500L
+      graft.jobs.Crawl.run(s, SyntheticWeb.pages(s, n), SyntheticWeb.seeds(s, 200, n),
+        Some(SyntheticWeb.robots(s)), Some(SyntheticWeb.doppelganger(s, n)),
+        Some(SyntheticWeb.cdx(s, n)),
+        graft.jobs.Crawl.Config(maxRounds = 2, perHostBudget = 40, numSlots = 8,
+          dedupSizeThreshold = 32, numShards = 4))
+        .warcRows
+        .groupBy(col("round"), col("warc_type"), col("dedupe_source"))
+        .agg(count(lit(1)).as("n"), sum(col("content_length")).as("bytes"))
+        .orderBy("round", "warc_type", "dedupe_source")
+    }),
+
+    "q32_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextOps.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    }),
+
+    "q33_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextOps.qualityScore(col("text")).as("score"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("score")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_agg_returnflag" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_antijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_semijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q07_union_distinct" ->
+      """SELECT DISTINCT event_type, user_id FROM (
+        |  SELECT event_type, user_id FROM events WHERE value > 180
+        |  UNION ALL
+        |  SELECT event_type, user_id FROM events WHERE event_type = 'signup') t
+        |ORDER BY event_type, user_id""".stripMargin,
+
+    "q08_sort_limit" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q11_region_revenue" ->
+      """SELECT r_name,
+        |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_exact_dedup" ->
+      """SELECT doc_id, digest FROM (
+        |  SELECT doc_id, md5(substring(text,1,30)) AS digest,
+        |         row_number() OVER (PARTITION BY md5(substring(text,1,30)) ORDER BY doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY digest""".stripMargin,
+
+    "q13_revisit_counters" ->
+      """SELECT warc_type, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS bytes FROM (
+        |  SELECT CASE WHEN row_number() OVER (PARTITION BY md5(substring(text,1,30)) ORDER BY doc_id ASC) = 1
+        |              THEN 'response' ELSE 'revisit' END AS warc_type, n_chars
+        |  FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_dedup_tiers" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |     l AS (SELECT DISTINCT digest FROM d WHERE doc_id % 10 = 0),
+        |     g AS (SELECT DISTINCT digest FROM d WHERE doc_id % 10 = 1),
+        |     c AS (SELECT DISTINCT digest FROM d WHERE doc_id % 10 = 2)
+        |SELECT d.doc_id,
+        |       CASE WHEN l.digest IS NOT NULL THEN 'local'
+        |            WHEN g.digest IS NOT NULL THEN 'doppelganger'
+        |            WHEN c.digest IS NOT NULL THEN 'cdx'
+        |            ELSE 'none' END AS tier
+        |FROM d LEFT JOIN l ON d.digest = l.digest
+        |       LEFT JOIN g ON d.digest = g.digest
+        |       LEFT JOIN c ON d.digest = c.digest
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q15_seen_antijoin" ->
+      """SELECT doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND md5(s.text) = md5(d.text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q16_host_budget" ->
+      """SELECT host, doc_id, host_seq FROM (
+        |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host, doc_id,
+        |         row_number() OVER (PARTITION BY doc_id % 7 ORDER BY n_chars DESC, doc_id ASC) AS host_seq
+        |  FROM documents) t
+        |WHERE host_seq <= 5 ORDER BY host, host_seq""".stripMargin,
+
+    "q17_url_canonicalize" ->
+      """SELECT doc_id,
+        |       'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS url_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_digest_sha256" ->
+      """SELECT doc_id, 'sha256:' || sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nospace
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_stopword_langsig" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0), x -> x IN (${inList(words)})))"
+      s"""SELECT lang,
+         |       CAST(sum(${hits(TextOps.StopwordsEn)}) AS BIGINT) AS en_hits,
+         |       CAST(sum(${hits(TextOps.StopwordsDe)}) AS BIGINT) AS de_hits,
+         |       CAST(sum(${hits(TextOps.StopwordsFr)}) AS BIGINT) AS fr_hits,
+         |       CAST(sum(${hits(TextOps.StopwordsEs)}) AS BIGINT) AS es_hits
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q21_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents) t WHERE len(toks) >= 2),
+        |  e AS (SELECT doc_id, grams, unnest(grams) AS gram FROM g),
+        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS g_a, b.grams AS g_b
+        |           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |       round(CAST(len(list_intersect(g_a, g_b)) AS DOUBLE) /
+        |             (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))), 3) AS jaccard
+        |FROM cand
+        |WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE) /
+        |      (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_ann_threshold" ->
+      """WITH q AS (SELECT vec_id AS qid,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS id,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT qid, id,
+        |       round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 3) AS cosine
+        |FROM c, q
+        |WHERE qid <> id
+        |  AND list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) >= 0.25
+        |ORDER BY qid, id""".stripMargin,
+
+    "q29_sessionize" ->
+      """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |           CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |                THEN 1 ELSE 0 END AS new_session
+        |    FROM events) t) s
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_fingerprint_distinct" ->
+      """SELECT lang, count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ *  - Brute-force cosine top-k: broadcast the (small) query set, score every
+ *    corpus vector, ranking-window top-k. The exact baseline — O(n*q) FLOPs,
+ *    one shuffle (the window), no driver collection of vectors.
+ *  - IVF top-k (the scale path): deterministic centroid selection +
+ *    one Lloyd refinement, cluster assignment as a broadcast-join argmin,
+ *    probe only `nprobe` nearest clusters per query. At 100 TB the corpus
+ *    scan for a query batch touches ~nprobe/nlist of the data, and the
+ *    cluster assignment is a one-off materialization, exactly the FAISS IVF
+ *    layout expressed relationally.
+ */
+object AnnOps {
+
+  import DedupOps.cosineSim
+
+  /** Brute-force cosine top-k per query. Queries must be small (broadcast). */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qvecCol: String,
+                 k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
+      .withColumn("cosine", cosineSim(col("v"), col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /**
+   * Deterministic centroids: the `nlist` corpus vectors with the smallest
+   * xxhash64(id) (a uniform pseudo-random sample, stable across runs),
+   * refined by one k-means step (mean of assigned vectors).
+   */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
+    val seedRows = corpus
+      .select(col(idCol).as("cid_src"), col(vecCol).as("cv"), xxhash64(lit("centroid"), col(idCol)).as("h"))
+      .orderBy(col("h").asc, col("cid_src").asc).limit(nlist)
+      .select(row_number().over(Window.orderBy(col("h").asc, col("cid_src").asc)).as("cid"), col("cv"))
+    val assigned = assign(corpus, idCol, vecCol, seedRows)
+    // one Lloyd refinement: component-wise mean via posexplode + re-pivot
+    val dims = assigned.select(col("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("m"))
+    dims.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("cv"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (broadcast argmin). */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(cents))
+      .withColumn("sim", cosineSim(col("v"), col("cv")))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("id"), col("v"), col("cid"))
+  }
+
+  /**
+   * IVF top-k: probe the `nprobe` most similar clusters per query, then
+   * brute-force within the probed slice only.
+   */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, nlist).cache()
+    val assigned = assign(corpus, idCol, vecCol, cents) // materialize once per corpus
+
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val qClusters = q.join(broadcast(cents))
+      .withColumn("sim", cosineSim(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)))
+      .filter(col("r") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+
+    val scored = assigned.join(broadcast(qClusters), Seq("cid"))
+      .withColumn("cosine", cosineSim(col("v"), col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

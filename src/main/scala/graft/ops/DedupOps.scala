@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication family for training-data pipelines (core engine components
+ * alongside the crawl dedup tier):
+ *
+ *  - exact        : hash-groupBy earliest-wins (the J2 pattern generalized)
+ *  - MinHash+LSH  : shingle -> minhash signature -> band -> bucket-join ->
+ *                   verified Jaccard. Candidate generation is a self-join on
+ *                   band buckets only — never an all-pairs cross join, so it
+ *                   scales as O(sum of bucket^2), not O(n^2).
+ *  - SimHash      : 64-bit sign-aggregated token hashes; near-dups share the
+ *                   simhash under small Hamming distance (banded by 16-bit
+ *                   chunks for candidate generation).
+ *  - n-gram Jaccard: exact verification metric on candidate pairs.
+ *  - embedding near-dup: random-hyperplane (deterministic) signatures over
+ *                   the embedding column -> bucket-join -> cosine verify.
+ *
+ * All signature math is `functions._` expressions (codegen); only structure
+ * (joins/windows) shuffles. Seeds are literal constants — deterministic.
+ */
+object DedupOps {
+
+  /** Exact dedup: keep the earliest row per normalized-content fingerprint. */
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature (numHashes values) over a string-array column. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** SimHash-64: sign of per-bit vote over token hashes. Bit positions are
+   *  Scala-level constants, so shifts stay literal (codegen-friendly). */
+  def simhash64(tokensCol: Column): Column = {
+    // votes: array[64] of +-1 sums; bit i of token hash h = (h >> i) & 1
+    val votes = aggregate(
+      tokensCol,
+      array((0 until 64).map(_ => lit(0)): _*),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val bitVotes = array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+        zip_with(acc, bitVotes, (a, b) => a + b)
+      })
+    (0 until 64).map(i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** 16-bit bands of a 64-bit simhash (candidate key: one matching band). */
+  def simhashBands(simhash: Column): Column =
+    array((0 until 4).map(b => struct(lit(b).as("band"),
+      shiftright(simhash, b * 16).bitwiseAND(0xffff).as("value"))): _*)
+
+  def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * MinHash-LSH near-duplicate pairs. Returns (id_a, id_b, jaccard) with
+   * id_a < id_b, verified against `threshold` on the true shingle-set
+   * Jaccard. bandsCount * rowsPerBand must equal numHashes.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 5, numHashes: Int = 32,
+                      bandsCount: Int = 8, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bandsCount == 0, "bands must divide hashes")
+    val rowsPerBand = numHashes / bandsCount
+    val withSig = df.select(
+      col(idCol).as("id"),
+      TextOps.charShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    // band key = hash of the band's signature slice
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(array((0 until bandsCount).map(b =>
+        xxhash64(lit("band"), lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+    val left = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val right = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = left.join(right, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b") // a pair can collide in several bands
+
+    // exact Jaccard verification on candidates only
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .withColumn("jaccard", when(union === 0, lit(1.0)).otherwise(inter / union))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: banded candidates, Hamming-verified. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("simhash", simhash64(col("toks")))
+    val banded = withSim.select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
+      .select(col("id"), col("simhash"), col("b.band"), col("b.value"))
+    val l = banded.select(col("band"), col("value"), col("id").as("id_a"), col("simhash").as("sim_a"))
+    val r = banded.select(col("band"), col("value"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("band", "value"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hammingDistance64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard between all pairs sharing an n-gram — small inputs / verification. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), array_distinct(TextOps.wordNgrams(col(textCol), n)).as("grams"))
+    val exploded = grams.select(col("id"), col("grams"), explode(col("grams")).as("g"))
+    val l = exploded.select(col("g"), col("id").as("id_a"), col("grams").as("g_a"))
+    val r = exploded.select(col("g"), col("id").as("id_b"), col("grams").as("g_b"))
+    l.join(r, Seq("g")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------- embedding near-dup ----------------
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i). */
+  private def planeComponent(p: Column, i: Column): Column =
+    (pmod(xxhash64(lit("hyperplane"), p, i), lit(2001L)).cast("double") - 1000.0) / 1000.0
+
+  /** Sign signature over `numPlanes` deterministic hyperplanes (SRP-LSH). */
+  def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
+    transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    })
+
+  def cosineSim(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Embedding-cosine near-duplicates via SRP-LSH buckets + cosine verify. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            numPlanes: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", xxhash64(concat_ws(",", hyperplaneSignature(col("v"), numPlanes))))
+    val l = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

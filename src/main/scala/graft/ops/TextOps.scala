@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for large-scale training-data pipelines: tokenization,
+ * quality scoring, language-ID heuristic, document fingerprinting. All pure
+ * `functions._` compositions (whole-stage codegen; no UDFs), so they run at
+ * scan speed and push no state to the driver.
+ */
+object TextOps {
+
+  /** Whitespace tokenization (empty-string-safe). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex splits on case/digit boundaries. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^\\p{L}\\p{N}]+|(?<=[a-z])(?=[A-Z])|(?<=\\p{L})(?=\\p{N})"),
+      t => length(t) > 0))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text))
+
+  val StopwordsEn = Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "he",
+    "was", "for", "on", "are", "as", "with", "his", "they", "at", "be")
+  val StopwordsDe = Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
+    "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als", "auch")
+  val StopwordsFr = Seq("le", "la", "et", "les", "des", "en", "un", "du", "une", "que",
+    "est", "pour", "qui", "dans", "a", "par", "plus", "pas", "au", "sur")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no",
+    "haber", "por", "con", "su", "para", "como", "estar", "tener", "le", "lo")
+
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(stopwordHits(text, stopwords).cast("double") / tokenCount(text))
+
+  /** CJK codepoint ratio (zh/ja detection signal). */
+  def cjkRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")).cast("double") / length(text))
+
+  /**
+   * n-gram/stopword language-ID heuristic: score each language by stopword
+   * hit rate; CJK ratio short-circuits to zh. Deterministic tie-break by
+   * fixed language order.
+   */
+  def langId(text: Column): Column = {
+    val scores = Seq(
+      "en" -> stopwordHits(text, StopwordsEn),
+      "de" -> stopwordHits(text, StopwordsDe),
+      "fr" -> stopwordHits(text, StopwordsFr),
+      "es" -> stopwordHits(text, StopwordsEs))
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"), struct(score.as("score"), lit(lang).as("lang")))
+          .otherwise(acc)
+    }
+    when(cjkRatio(text) > 0.25, lit("zh"))
+      .when(best.getField("score") === 0, lit("unknown"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /**
+   * Quality score in [0,1]: length band + punctuation sanity + stopword
+   * presence + mean token length band — the standard cheap pre-filter
+   * features (C4/Gopher-style rules) as one codegen'd expression.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val meanTokLen = when(nTok === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / nTok)
+    val lengthOk = when(nTok.between(8, 100000), lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(0.25)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.05, lit(0.25)).otherwise(lit(0.0))
+    val tokLenOk = when(meanTokLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    round(lengthOk + punctOk + stopOk + tokLenOk, 2)
+  }
+
+  /**
+   * Document fingerprint: xxhash64 over the whitespace-normalized,
+   * lowercased text — the content-defined identity used for exact dedup
+   * (rolling-hash analog; shingle fingerprints live in DedupOps).
+   */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character k-shingles of the normalized text. */
+  def charShingles(text: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) < k, array(norm)).otherwise(
+      transform(sequence(lit(0), length(norm) - k), i => norm.substr(i + 1, lit(k))))
+  }
+
+  /** Word n-grams as strings. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t))).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+}
