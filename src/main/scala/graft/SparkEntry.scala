@@ -282,6 +282,106 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // --- record semantics: serialization + parsing operators (K2-K4, X1-X6) ---
+
+    "q34_warc_serialize" -> ((s, dir) => {
+      // byte-exact record serialization (K2): md5 + length cross-checked
+      val d = t(s, dir, "documents")
+      val rec = graft.warc.RecordSerializer.resourceRecord(
+        concat(lit("<urn:uuid:rec-"), col("doc_id").cast("string"), lit(">")),
+        lit("2023-11-14T22:13:20Z"),
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"), lit(".example/d"),
+          col("doc_id").cast("string")),
+        lit("text/plain"), col("text"))
+      d.select(col("doc_id"), length(rec).cast("long").as("rec_len"), md5(rec).as("rec_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q35_target_uri" -> ((s, dir) => {
+      // X1: absolute target-URI reconstruction from request line + Host header
+      val d = t(s, dir, "documents")
+        .withColumn("req_line", concat(lit("GET /d"), col("doc_id").cast("string"), lit(" HTTP/1.1")))
+        .withColumn("host_hdr", concat(lit("h"), (col("doc_id") % 7).cast("string"), lit(".example")))
+      d.select(col("doc_id"),
+        concat(lit("http://"), col("host_hdr"),
+          regexp_extract(col("req_line"), "^[A-Z]+ (\\S+) HTTP", 1)).as("target_uri"))
+        .orderBy("doc_id")
+    }),
+
+    "q36_end_of_headers" -> ((s, dir) => {
+      // X2: end-of-headers cut = position after the first \r\n\r\n
+      val d = t(s, dir, "documents")
+        .withColumn("content", concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Length: "), col("n_chars").cast("string"),
+          lit("\r\n\r\n"), col("text")))
+      d.select(col("doc_id"),
+        (locate("\r\n\r\n", col("content")) + 4).cast("long").as("cut_pos"))
+        .orderBy("doc_id")
+    }),
+
+    "q37_cdx_parse" -> ((s, dir) => {
+      // X5: CDX line field split + compact-timestamp parse (dedupe.go:75-91)
+      val d = t(s, dir, "documents")
+        .withColumn("line", concat(
+          lit("example)/d"), col("doc_id").cast("string"),
+          lit(" 20220320002518 http://h0.example/d"), col("doc_id").cast("string"),
+          lit(" text/html 200 "), upper(md5(col("text"))), lit(" "), col("n_chars").cast("string")))
+        .withColumn("f", split(col("line"), " "))
+      d.select(col("doc_id"),
+        date_format(to_timestamp(col("f").getItem(1), "yyyyMMddHHmmss"),
+          "yyyy-MM-dd HH:mm:ss").as("capture_ts"),
+        col("f").getItem(5).as("cdx_digest"),
+        col("f").getItem(6).cast("long").as("cdx_size"))
+        .orderBy("doc_id")
+    }),
+
+    "q38_header_map" -> ((s, dir) => {
+      // P1: case-insensitive header projection over a MapType column
+      val d = t(s, dir, "documents")
+        .withColumn("headers", map(
+          lit("content-type"), lit("text/html"),
+          lit("content-length"), col("n_chars").cast("string"),
+          lit("x-lang"), col("lang")))
+      d.select(col("doc_id"),
+        element_at(col("headers"), lower(lit("Content-Length"))).cast("long").as("content_length"),
+        element_at(col("headers"), lower(lit("X-Lang"))).as("lang_hdr"))
+        .orderBy("doc_id")
+    }),
+
+    "q39_filename_serial" -> ((s, dir) => {
+      // K4: rotated-file naming with %05d serial padding (file.go:14-70)
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.warc.RecordSerializer.warcFilename(
+          lit("GRAFT"), lit("20231114221320000"),
+          (col("doc_id") % 99999 + 1).cast("int"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string"))).as("filename"))
+        .orderBy("doc_id")
+    }),
+
+    "q40_content_length_sum" -> ((s, dir) => {
+      // A5: the content-length-sum invariant (client_test.go:70-107) per lang
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).cast("long").as("total_bytes"), count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "q41_doppelganger_json" -> ((s, dir) => {
+      // X6: Doppelganger JSON response parse (dedupe.go:117-139)
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val schema = StructType(Seq(StructField("id", StringType),
+        StructField("uri", StringType), StructField("date", StringType)))
+      val d = t(s, dir, "documents")
+        .withColumn("json", concat(
+          lit("{\"id\":\"dg-"), col("doc_id").cast("string"),
+          lit("\",\"uri\":\"http://h0.example/d"), col("doc_id").cast("string"),
+          lit("\",\"date\":\"20220101000000\"}")))
+      d.select(col("doc_id"), from_json(col("json"), schema).as("j"))
+        .select(col("doc_id"), col("j.id").as("dg_id"), col("j.uri").as("dg_uri"),
+          col("j.date").as("dg_date"))
+        .orderBy("doc_id")
+    }),
+
     // --- engine-native ops (no SQL equivalent -> rows-only driver check) ---
 
     "q23_minhash_lsh" -> ((s, dir) => {
@@ -541,6 +641,72 @@ object SparkEntry {
 
     "q30_fingerprint_distinct" ->
       """SELECT lang, count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q34_warc_serialize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         'WARC/1.1' || chr(13)||chr(10) ||
+        |         'WARC-Date: 2023-11-14T22:13:20Z' || chr(13)||chr(10) ||
+        |         'WARC-Type: resource' || chr(13)||chr(10) ||
+        |         'WARC-Record-ID: <urn:uuid:rec-' || doc_id || '>' || chr(13)||chr(10) ||
+        |         'Content-Length: ' || length(text) || chr(13)||chr(10) ||
+        |         'WARC-Target-URI: http://h' || (doc_id % 7) || '.example/d' || doc_id || chr(13)||chr(10) ||
+        |         'Content-Type: text/plain' || chr(13)||chr(10) ||
+        |         chr(13)||chr(10) || text || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(rec) AS BIGINT) AS rec_len, md5(rec) AS rec_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q35_target_uri" ->
+      """SELECT doc_id,
+        |       'http://h' || (doc_id % 7) || '.example' ||
+        |       regexp_extract('GET /d' || doc_id || ' HTTP/1.1', '^[A-Z]+ (\S+) HTTP', 1) AS target_uri
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q36_end_of_headers" ->
+      """SELECT doc_id,
+        |       CAST(strpos('HTTP/1.1 200 OK' || chr(13)||chr(10) || 'Content-Length: ' || n_chars ||
+        |                   chr(13)||chr(10)||chr(13)||chr(10) || text,
+        |                   chr(13)||chr(10)||chr(13)||chr(10)) + 4 AS BIGINT) AS cut_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_cdx_parse" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(
+        |    'example)/d' || doc_id || ' 20220320002518 http://h0.example/d' || doc_id ||
+        |    ' text/html 200 ' || upper(md5(text)) || ' ' || n_chars, ' ') AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |       strftime(strptime(f[2], '%Y%m%d%H%M%S'), '%Y-%m-%d %H:%M:%S') AS capture_ts,
+        |       f[6] AS cdx_digest,
+        |       CAST(f[7] AS BIGINT) AS cdx_size
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q38_header_map" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS content_length, lang AS lang_hdr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_filename_serial" ->
+      """SELECT doc_id,
+        |       'GRAFT-20231114221320000-' || printf('%05d', doc_id % 99999 + 1) ||
+        |       '-h' || (doc_id % 7) || '.warc.gz' AS filename
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_content_length_sum" ->
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_bytes, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q41_doppelganger_json" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |         '{"id":"dg-' || doc_id || '","uri":"http://h0.example/d' || doc_id ||
+        |         '","date":"20220101000000"}' AS js
+        |  FROM documents)
+        |SELECT doc_id,
+        |       json_extract_string(js, '$.id') AS dg_id,
+        |       json_extract_string(js, '$.uri') AS dg_uri,
+        |       json_extract_string(js, '$.date') AS dg_date
+        |FROM j ORDER BY doc_id""".stripMargin
   )
 }

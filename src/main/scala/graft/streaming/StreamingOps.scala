@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One fetch event on the live capture stream (the reference's per-connection
+  * record flow, dialer.go:473-643, as a row). */
+case class FetchEvent(ts: Timestamp, url: String, digest: String, size: Long, status: Int)
+
+/** Streaming dedup verdict: first capture of a digest is the `response`;
+  * every later capture is a `revisit` referring back to it (dedupe.go:36-50). */
+case class DedupVerdict(url: String, digest: String, warcType: String,
+                        refersToUrl: String, ts: Timestamp)
+
+/** State carried per digest: the first capture (first-wins insert,
+  * dialer.go:616-633). */
+case class FirstCapture(url: String, ts: Timestamp)
+
+/**
+ * Structured Streaming forms of the crawl pipeline's stateful pieces
+ * (SURVEY §2.8). The reference IS a streaming pipeline — teed connection
+ * bytes, concurrent parsers, a writer pool fed by channels — and these
+ * operators are its Spark-native equivalents: event-time watermarks replace
+ * channel backpressure, `flatMapGroupsWithState` replaces the in-process
+ * dedup cache, windowed aggregation replaces the atomic metric counters.
+ *
+ * The batch engine (jobs.Crawl) remains the primary design (closed rounds +
+ * snapshot commits, SURVEY §7.2); this module exists so a live capture feed
+ * (`readStream` from Kafka/files in production) runs through the same
+ * semantics with streaming state.
+ */
+object StreamingOps {
+
+  /**
+   * A1 counters as a live windowed aggregation: per (window, status) fetch
+   * count and byte total, with a watermark bounding state. Late events past
+   * the watermark are dropped — the streaming analog of "a round is a closed
+   * set" (SURVEY §2.8).
+   */
+  def windowedFetchMetrics(events: DataFrame,
+                           watermarkDelay: String = "10 minutes",
+                           windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"))
+      .select(col("window.start").as("window_start"), col("status"), col("n"), col("bytes"))
+
+  /**
+   * Streaming first-wins digest dedup: `flatMapGroupsWithState` keyed by
+   * payload digest. The first event of a digest emits a `response` verdict
+   * and installs state; later events emit `revisit` verdicts referencing the
+   * first capture — exactly the local dedup tier (J1/J2) with unbounded
+   * stream input. State per key is one (url, ts) pair, so at 10^10 digests
+   * state stores shard across executors like the batch seen-set.
+   *
+   * Within one micro-batch, arrival order per key is made deterministic by
+   * sorting the group's events by (ts, url) before classification.
+   */
+  def firstWinsDedup(events: Dataset[FetchEvent]): Dataset[DedupVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        classifyGroup)
+  }
+
+  private[streaming] def classifyGroup(
+      digest: String, events: Iterator[FetchEvent],
+      state: GroupState[FirstCapture]): Iterator[DedupVerdict] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.url))
+    var first = state.getOption
+    val out = sorted.map { e =>
+      first match {
+        case Some(f) =>
+          DedupVerdict(e.url, digest, "revisit", f.url, e.ts)
+        case None =>
+          first = Some(FirstCapture(e.url, e.ts))
+          DedupVerdict(e.url, digest, "response", null, e.ts)
+      }
+    }
+    first.foreach(state.update)
+    out.iterator
+  }
+
+  /**
+   * Streaming URL-seen: `mapGroupsWithState` keyed by url_key emitting each
+   * key exactly once (its first sighting) — the frontier's NOT-EXISTS as
+   * streaming state. Duplicate sightings update a counter but emit nothing
+   * new (emitted flag in state).
+   */
+  def firstSightings(urls: Dataset[(String, Timestamp)]): Dataset[(String, Timestamp)] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[(String, Timestamp)], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val firstTs = rows.map(_._2).minBy(_.getTime)
+            Iterator((key, firstTs))
+          }
+        })
+  }
+}

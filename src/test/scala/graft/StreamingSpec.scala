@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{FetchEvent, StreamingOps}
+
+/** Structured Streaming semantics (SURVEY §2.8): first-wins dedup state
+  * across micro-batches, URL first-sightings, watermarked windowed metrics. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("streaming first-wins dedup: response then revisits across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchEvent]
+    val q = StreamingOps.firstWinsDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct digests + one intra-batch duplicate
+      input.addData(
+        FetchEvent(ts(1), "http://a/1", "d1", 100, 200),
+        FetchEvent(ts(2), "http://a/2", "d2", 120, 200),
+        FetchEvent(ts(3), "http://b/1", "d1", 100, 200))
+      q.processAllAvailable()
+      // batch 2: d1 again from a third url — state must persist across batches
+      input.addData(FetchEvent(ts(4), "http://c/9", "d1", 100, 200))
+      q.processAllAvailable()
+
+      val rows = spark.table("dedup_out").as[graft.streaming.DedupVerdict]
+        .collect().sortBy(v => (v.ts.getTime, v.url))
+      assert(rows.map(_.warcType).toSeq ===
+        Seq("response", "response", "revisit", "revisit"))
+      // both revisits refer to d1's first capture
+      assert(rows.filter(_.warcType == "revisit").forall(_.refersToUrl == "http://a/1"))
+      assert(rows.count(_.digest == "d1") === 3)
+    } finally q.stop()
+  }
+
+  test("streaming url first-sightings emit each key once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingOps.firstSightings(input.toDS())
+      .writeStream.format("memory").queryName("seen_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("u1", ts(5)), ("u2", ts(1)), ("u1", ts(2)))
+      q.processAllAvailable()
+      input.addData(("u1", ts(9)), ("u3", ts(7)))
+      q.processAllAvailable()
+      val rows = spark.table("seen_out").as[(String, Timestamp)].collect().toMap
+      assert(rows.keySet === Set("u1", "u2", "u3"))
+      // u1's emitted ts is the min within its first micro-batch
+      assert(rows("u1") === ts(2))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed fetch metrics aggregate counts and bytes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchEvent]
+    val q = StreamingOps.windowedFetchMetrics(input.toDF(), "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("metrics_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        FetchEvent(ts(0), "u1", "d1", 100, 200),
+        FetchEvent(ts(10), "u2", "d2", 50, 200),
+        FetchEvent(ts(20), "u3", "d3", 7, 404))
+      q.processAllAvailable()
+      val rows = spark.table("metrics_out")
+        .select("status", "n", "bytes").as[(Int, Long, Long)].collect().toSet
+      assert(rows === Set((200, 2L, 150L), (404, 1L, 7L)))
+    } finally q.stop()
+  }
+}
