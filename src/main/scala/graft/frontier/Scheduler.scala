@@ -34,20 +34,23 @@ object Scheduler {
       numSlots: Int = 32, // politeness partitions (= executor-task slots)
       salt: Int = 0) // deterministic per-round slot salt
 
-  /** Raw candidates -> canonicalized, deduped-within-round frontier rows. */
-  def canonicalize(candidates: DataFrame): DataFrame = {
-    val withKey = candidates
+  /**
+   * Raw candidates -> canonicalized, deduped-within-round frontier rows.
+   * Best candidate per url_key = struct-min on (priority, discovery_time,
+   * url, depth, via) — a hash aggregate with map-side partial combine, so
+   * duplicate-heavy frontiers shrink before the shuffle (a ranking window
+   * here would sort-shuffle every candidate and serialize skewed keys).
+   */
+  def canonicalize(candidates: DataFrame): DataFrame =
+    candidates
       .withColumn("url_key", url_canonicalize(col("url")))
       .withColumn("host", parse_url(col("url_key"), lit("HOST")))
-    // best candidate per url_key: lowest priority value, then earliest
-    // discovery, then lexicographic url — deterministic under any parallelism
-    val w = Window.partitionBy(col("url_key"))
-      .orderBy(col("priority").asc, col("discovery_time").asc, col("url").asc)
-    withKey
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy(col("url_key"), col("host"))
+      .agg(min(struct(col("priority"), col("discovery_time"), col("url"),
+        col("depth"), col("via"))).as("b"))
+      .select(col("url_key"), col("host"), col("b.url").as("url"),
+        col("b.priority").as("priority"), col("b.discovery_time").as("discovery_time"),
+        col("b.depth").as("depth"), col("b.via").as("via"))
 
   /**
    * RFC 9309 gate: a URL is fetchable unless the longest matching rule for

@@ -33,7 +33,11 @@ object Crawl {
       bloomBlocksPerShard: Int = 256, // 256 blocks * 512 bits ~ 16 KiB/shard locally
       cuckooBucketsPerShard: Int = 1 << 14,
       baseEpoch: Long = 1700000000L,
-      useBloomPrefilter: Boolean = true)
+      useBloomPrefilter: Boolean = true,
+      // per-round counter collection (A1 analog). Costs two extra driver
+      // round-trips per round; benchmarks turn it off (outputs unchanged —
+      // the counters are derivable from warc_rows afterwards).
+      collectStats: Boolean = true)
 
   case class RoundStats(round: Int, scheduled: Long, responses: Long, revisits: Long,
                         revisitsByTier: Map[String, Long], bytes: Long, outlinks: Long)
@@ -109,10 +113,14 @@ object Crawl {
 
         // metrics: grouped-sum reproduction of the reference's atomic
         // counters (warc.go:62-73; A1): per-tier revisit counts and bytes
-        val tierRows = warc.filter(col("seq") === 0)
-          .groupBy("dedupe_source")
-          .agg(count(lit(1)).as("n"), sum("payload_size").as("bytes"))
-          .collect()
+        val doStats = cfg.collectStats || store.nonEmpty
+        val tierRows =
+          if (doStats)
+            warc.filter(col("seq") === 0)
+              .groupBy("dedupe_source")
+              .agg(count(lit(1)).as("n"), sum("payload_size").as("bytes"))
+              .collect()
+          else Array.empty[org.apache.spark.sql.Row]
         val byTier = tierRows.map(r => r.getString(0) -> r.getLong(1)).toMap
         val bytes = tierRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
         val nResp = byTier.getOrElse("none", 0L)
@@ -128,7 +136,7 @@ object Crawl {
         frontier = links
         totalScheduled += nScheduled
         allWarc = Some(allWarc.map(_.unionByName(warc)).getOrElse(warc))
-        val nLinks = frontier.count()
+        val nLinks = if (doStats) frontier.count() else -1L
         stats += RoundStats(round, nScheduled, nResp, nRevisit, byTier - "none", bytes, nLinks)
 
         store.foreach { s =>

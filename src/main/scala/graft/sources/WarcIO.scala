@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable
+
+/**
+ * WARC byte-level reader/writer, semantics per the reference implementation
+ * (/root/reference/read.go:205-344, write.go:56-127) and ISO 28500 (WARC 1.1):
+ *
+ *  - record = version line + `Key: Value` CRLF headers + CRLF + content block
+ *    + CRLF CRLF trailer (write.go:56-65,22-26)
+ *  - with gzip, EACH RECORD IS ITS OWN GZIP MEMBER (read.go:236-254) — that
+ *    per-member framing is what makes .warc.gz splittable at scale; the
+ *    writer here reproduces it (one GZIPOutputStream finish() per record)
+ *  - compression is sniffed from magic bytes (read.go:358-374): gzip or plain
+ *    are supported offline (bzip2/xz/zstd would need codecs not shipped here)
+ *  - header keys are case-insensitive (header.go:12-38): parsed into a map
+ *    keyed lowercase, original case preserved in serialization only
+ */
+object WarcIO {
+
+  final case class ParsedRecord(
+      version: String,
+      headers: Map[String, String], // keys lowercased
+      content: Array[Byte],
+      offset: Long) // record ordinal within the file (compressed offsets need member index)
+
+  private val CRLF = "\r\n".getBytes(StandardCharsets.US_ASCII)
+
+  /** Sniff gzip magic (read.go:358-364) and wrap; GZIPInputStream reads
+    * concatenated members transparently (the Multistream(false) reset loop
+    * in read.go:243-254 collapses to one continuous stream here). */
+  def open(in: InputStream): InputStream = {
+    val buf = new BufferedInputStream(in, 1 << 16)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    if (b0 == 0x1f && b1 == 0x8b) new BufferedInputStream(new GZIPInputStream(buf, 1 << 16), 1 << 16)
+    else buf
+  }
+
+  /** Read one CRLF-terminated line as ASCII/UTF-8 (readUntilDelim analog,
+    * read.go:140-179). Returns null at clean EOF before any byte. */
+  private def readLine(in: InputStream): String = {
+    val out = new java.io.ByteArrayOutputStream(128)
+    var prev = -1
+    var c = in.read()
+    if (c == -1) return null
+    while (c != -1) {
+      if (prev == '\r' && c == '\n') {
+        val bytes = out.toByteArray
+        return new String(bytes, 0, bytes.length - 1, StandardCharsets.UTF_8)
+      }
+      out.write(c)
+      prev = c
+      c = in.read()
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8) // EOF mid-line: tolerate
+  }
+
+  private def readFully(in: InputStream, n: Long): Array[Byte] = {
+    require(n <= Int.MaxValue, s"content block too large for one row: $n")
+    val buf = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n.toInt - off)
+      if (r < 0) throw new EOFException(s"unexpected EOF in content block at $off/$n")
+      off += r
+    }
+    buf
+  }
+
+  /**
+   * Pull-based record iterator (the ReadRecord loop, read.go:205-344).
+   * Tolerates leading blank lines between records; enforces the two-CRLF
+   * trailer (read.go:309-317).
+   */
+  def records(raw: InputStream): Iterator[ParsedRecord] = new Iterator[ParsedRecord] {
+    private val in = open(raw)
+    private var nextRec: ParsedRecord = _
+    private var ordinal = 0L
+    private var done = false
+
+    private def advance(): Unit = {
+      if (done) return
+      var line = readLine(in)
+      while (line != null && line.isEmpty) line = readLine(in) // skip inter-record padding
+      if (line == null) { done = true; nextRec = null; return }
+      if (!line.startsWith("WARC/")) throw new IllegalStateException(s"bad version line: '$line'")
+      val version = line
+      val headers = mutable.LinkedHashMap[String, String]()
+      var h = readLine(in)
+      while (h != null && h.nonEmpty) {
+        val i = h.indexOf(':')
+        if (i > 0) headers(h.substring(0, i).toLowerCase) = h.substring(i + 1).trim // splitKeyValue, utils.go:18-24
+        h = readLine(in)
+      }
+      val len = headers.getOrElse("content-length",
+        throw new IllegalStateException("missing Content-Length")).toLong
+      val content = readFully(in, len)
+      // trailer: exactly \r\n\r\n (read.go:309-317)
+      val t = new Array[Byte](4)
+      var off = 0
+      while (off < 4) {
+        val r = in.read(t, off, 4 - off)
+        if (r < 0) throw new EOFException("unexpected EOF in record trailer")
+        off += r
+      }
+      if (!(t(0) == '\r' && t(1) == '\n' && t(2) == '\r' && t(3) == '\n'))
+        throw new IllegalStateException("record missing \\r\\n\\r\\n trailer")
+      nextRec = ParsedRecord(version, headers.toMap, content, ordinal)
+      ordinal += 1
+    }
+
+    advance()
+    override def hasNext: Boolean = nextRec != null
+    override def next(): ParsedRecord = {
+      val r = nextRec; advance(); r
+    }
+  }
+
+  /** Serialize one record; canonical header order per RecordSerializer.
+    * Content-Length is ALWAYS set from the measured content (the reference
+    * measures the spooled block at write time, write.go:84-90) — a caller-
+    * provided value that disagrees would produce an unreadable record. */
+  def writeRecord(out: OutputStream, version: String,
+                  headersIn: Seq[(String, String)], content: Array[Byte]): Unit = {
+    val headers = headersIn.filterNot(_._1.equalsIgnoreCase("Content-Length")) :+
+      ("Content-Length" -> content.length.toString)
+    val canon = graft.warc.RecordSerializer.CanonicalOrder
+    val keys = headers.map(_._1)
+    val ordered = canon.filter(keys.contains) ++ keys.filterNot(canon.contains).sorted
+    val hmap = headers.toMap
+    val sb = new StringBuilder(version).append("\r\n")
+    ordered.foreach { k => sb.append(k).append(": ").append(hmap(k)).append("\r\n") }
+    sb.append("\r\n")
+    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    out.write(content)
+    out.write(CRLF); out.write(CRLF)
+  }
+
+  /**
+   * Per-record gzip member framing (write.go per-record member; asserted in
+   * the reference's reader, read.go:236-254): each record compresses through
+   * its own GZIPOutputStream whose finish() closes the member but not the
+   * underlying stream.
+   */
+  def writeGzipMember(out: OutputStream)(body: OutputStream => Unit): Unit = {
+    val gz = new GZIPOutputStream(out, 1 << 16)
+    body(gz)
+    gz.finish() // closes the member, keeps the file stream open
+    gz.flush()
+  }
+}
