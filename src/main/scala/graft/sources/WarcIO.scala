@@ -128,8 +128,15 @@ object WarcIO {
     * provided value that disagrees would produce an unreadable record. */
   def writeRecord(out: OutputStream, version: String,
                   headersIn: Seq[(String, String)], content: Array[Byte]): Unit = {
-    val headers = headersIn.filterNot(_._1.equalsIgnoreCase("Content-Length")) :+
+    val withLen = headersIn.filterNot(_._1.equalsIgnoreCase("Content-Length")) :+
       ("Content-Length" -> content.length.toString)
+    // block digest injected when missing (write.go:96-101); an existing
+    // header is trusted (callers may carry the original-capture digest)
+    val headers =
+      if (withLen.exists(_._1.equalsIgnoreCase("WARC-Block-Digest"))) withLen
+      else withLen :+ ("WARC-Block-Digest" ->
+        ("sha1:" + graft.functions.DigestUtil.base32(
+          java.security.MessageDigest.getInstance("SHA-1").digest(content))))
     val canon = graft.warc.RecordSerializer.CanonicalOrder
     val keys = headers.map(_._1)
     val ordered = canon.filter(keys.contains) ++ keys.filterNot(canon.contains).sorted

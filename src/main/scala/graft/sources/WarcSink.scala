@@ -71,10 +71,19 @@ object WarcSink {
     }
   }
 
-  /** Shape the crawl's warc_rows (plus a content column) into sink rows. */
-  def toRecordColumns(warcRows: DataFrame, contentCol: String): DataFrame = {
+  /** Shape the crawl's warc_rows (plus a content column) into sink rows.
+    * `keepDigests=false` drops the digest headers so the writer recomputes
+    * the block digest from the actual content — use it whenever the content
+    * column is not the original digested block. */
+  def toRecordColumns(warcRows: DataFrame, contentCol: String,
+                      keepDigests: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     def hdr(k: String, c: org.apache.spark.sql.Column) = Seq(lit(k), c.cast("string"))
+    val digests =
+      if (keepDigests)
+        hdr("WARC-Block-Digest", col("block_digest")) ++
+          hdr("WARC-Payload-Digest", col("payload_digest"))
+      else Seq.empty
     warcRows.select(
       lit("WARC/1.1").as("version"),
       map_filter(map(
@@ -83,8 +92,7 @@ object WarcSink {
           hdr("WARC-Date", date_format(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")) ++
           hdr("WARC-Target-URI", col("target_uri")) ++
           hdr("Content-Length", col("content_length")) ++
-          hdr("WARC-Block-Digest", col("block_digest")) ++
-          hdr("WARC-Payload-Digest", col("payload_digest")) ++
+          digests ++
           hdr("WARC-Concurrent-To", col("concurrent_to")) ++
           hdr("WARC-Refers-To", col("refers_to")) ++
           hdr("WARC-Profile", col("profile")) ++

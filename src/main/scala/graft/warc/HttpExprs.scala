@@ -1,0 +1,48 @@
+package graft.warc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * HTTP-message column expressions (X1-X3, P3 in SURVEY §2) — pure
+ * `functions._` compositions, whole-stage-codegen'd.
+ */
+object HttpExprs {
+
+  /** The nine request methods the reference recognizes (utils.go:26-40). */
+  val Methods: Seq[String] = Seq("GET", "HEAD", "POST", "PUT", "DELETE",
+    "CONNECT", "OPTIONS", "TRACE", "PATCH")
+
+  /** P3: request-line detector — prefix ∈ methods ∧ suffix ∈ {HTTP/1.0, HTTP/1.1}. */
+  def isHttpRequest(line: Column): Column =
+    Methods.map(m => line.startsWith(m + " ")).reduce(_ || _) &&
+      (line.endsWith(" HTTP/1.0") || line.endsWith(" HTTP/1.1"))
+
+  /** X3: status code from an HTTP response block ("HTTP/1.1 200 OK...");
+    * null on non-HTTP content (ANSI-safe: no cast of the empty no-match). */
+  def parseStatus(content: Column): Column = {
+    val m = regexp_extract(content, "^HTTP/1\\.[01] (\\d{3})", 1)
+    when(m === "", lit(null).cast("int")).otherwise(m.cast("int"))
+  }
+
+  /** X3/P1: case-insensitive header value from a raw HTTP block. */
+  def parseHttpHeader(content: Column, key: String): Column = {
+    // (?i) case-insensitive, (?m) ^ matches at line starts; value up to CR
+    regexp_extract(content, "(?im)^" + java.util.regex.Pattern.quote(key) + ":\\s*([^\r\n]*)", 1)
+  }
+
+  /** X1: absolute target URI from request line + Host header (dialer.go:863-932).
+    * Idempotent: an already-absolute request-target passes through. */
+  def targetUri(requestBlock: Column, scheme: String = "http"): Column = {
+    val target = regexp_extract(requestBlock, "^[A-Z]+ (\\S+) HTTP", 1)
+    val host = parseHttpHeader(requestBlock, "Host")
+    when(target.rlike("^[a-z]+://"), target)
+      .otherwise(concat(lit(scheme + "://"), host, target))
+  }
+
+  /** X2: 1-based offset just past the first \r\n\r\n (end-of-headers cut). */
+  def endOfHeadersOffset(content: Column): Column = {
+    val p = locate("\r\n\r\n", content)
+    when(p === 0, lit(-1)).otherwise(p + 4)
+  }
+}
