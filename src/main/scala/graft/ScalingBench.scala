@@ -37,28 +37,37 @@ object ScalingBench {
     * web at 10^6 pages would make politeness slots artificially skew-bound). */
   private def hostsFor(nPages: Long): Int = math.max(64, (nPages / 2000).toInt)
 
-  /** One timed crawl; returns (urls scheduled+deduped, wall seconds).
-    * Fixture tables materialize OUTSIDE the timed window: in production the
-    * input is a parquet/Iceberg table, not a generator expression DAG — the
-    * metric times the crawl job, not fixture synthesis (BASELINE.md). */
+  /** Fixture tables are written ONCE per bench process as parquet on disk —
+    * the production input shape (an Iceberg-style table scan), identical
+    * across levels, and outside the timed window. */
+  private def fixturesDir(spark: SparkSession, nPages: Long, nSeeds: Long): String = {
+    val nh = hostsFor(nPages)
+    val dir = s"/tmp/graft-bench-fixtures-$nPages-$nSeeds"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_DONE"))) {
+      SyntheticWeb.pages(spark, nPages, nh).write.mode("overwrite").parquet(s"$dir/pages")
+      SyntheticWeb.seeds(spark, nSeeds, nPages, nh).write.mode("overwrite").parquet(s"$dir/seeds")
+      SyntheticWeb.robots(spark, nh).write.mode("overwrite").parquet(s"$dir/robots")
+      SyntheticWeb.doppelganger(spark, nPages, nh).write.mode("overwrite").parquet(s"$dir/dopp")
+      SyntheticWeb.cdx(spark, nPages, nh).write.mode("overwrite").parquet(s"$dir/cdx")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_DONE"))
+    }
+    dir
+  }
+
+  /** One timed crawl over the parquet fixtures; returns (urls, wall seconds). */
   private def runOnce(spark: SparkSession, nPages: Long, nSeeds: Long,
                       rounds: Int, slots: Int): (Long, Double) = {
-    val nh = hostsFor(nPages)
-    val pages = SyntheticWeb.pages(spark, nPages, nh).localCheckpoint()
-    val seeds = SyntheticWeb.seeds(spark, nSeeds, nPages, nh).localCheckpoint()
-    val robots = SyntheticWeb.robots(spark, nh).localCheckpoint()
-    val dopp = SyntheticWeb.doppelganger(spark, nPages, nh).localCheckpoint()
-    val cdx = SyntheticWeb.cdx(spark, nPages, nh).localCheckpoint()
+    val dir = fixturesDir(spark, nPages, nSeeds)
+    def rd(name: String) = spark.read.parquet(s"$dir/$name")
     val t0 = System.nanoTime()
-    val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx),
+    val res = Crawl.run(spark, rd("pages"), rd("seeds"),
+      Some(rd("robots")), Some(rd("dopp")), Some(rd("cdx")),
       Crawl.Config(maxRounds = rounds, perHostBudget = Int.MaxValue,
         numSlots = slots, dedupSizeThreshold = 32, numShards = 16,
         collectStats = false))
     // force the full output (digesting, revisit construction) to materialize
     res.warcRows.write.format("noop").mode("overwrite").save()
     val secs = (System.nanoTime() - t0) / 1e9
-    val views = Seq(pages, seeds, robots, dopp, cdx)
-    views.foreach(_.unpersist(blocking = false))
     (res.totalScheduled, secs)
   }
 
@@ -85,8 +94,9 @@ object ScalingBench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq
     // identical plan at every level: shuffle partitions and politeness slots
-    // fixed (at >= max cores) so only scheduling-onto-cores differs
-    val shuffleParts = math.max(levels.max * 2, 64)
+    // fixed (at 4x max cores for wave balance) so only scheduling-onto-cores
+    // differs between levels
+    val shuffleParts = math.max(levels.max * 4, 64)
     val slots = shuffleParts
 
     val results = levels.map { n =>

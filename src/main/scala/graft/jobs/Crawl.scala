@@ -95,6 +95,14 @@ object Crawl {
       }
     }
 
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (timing) {
+      val t = System.nanoTime()
+      println(f"[timing] $label: ${(t - t0) / 1e9}%.2f s")
+      t0 = t
+    }
+
     val stats = scala.collection.mutable.Buffer[RoundStats]()
     var allWarc: Option[DataFrame] = store.flatMap(_.read(spark, "warc_rows"))
     var totalScheduled = resumed.map(_.counts.getOrElse("total_scheduled", 0L)).getOrElse(0L)
@@ -108,10 +116,12 @@ object Crawl {
         robots, Scheduler.Config(cfg.perHostBudget, cfg.maxPerRound, cfg.numSlots, salt = round))
       val scheduled =
         if (cfg.checkpointState) scheduledPlan.localCheckpoint() else scheduledPlan.cache()
+      lap(s"r$round schedule+checkpoint")
       // filter build doubles as the round's count (one job, not two)
       val (newFilters, nScheduled) = SeenSetOps.buildFiltersCounted(
         scheduled.select(col("url_key")), "url_key", cfg.numShards,
         cfg.bloomBlocksPerShard, cfg.cuckooBucketsPerShard)
+      lap(s"r$round filters+count")
 
       if (nScheduled == 0) {
         scheduled.unpersist()
@@ -119,9 +129,11 @@ object Crawl {
       } else {
         val fetchedPlan = Fetch.fetch(scheduled, pages, fcfg)
         val fetched = if (cfg.checkpointState) fetchedPlan.localCheckpoint() else fetchedPlan.cache()
+        lap(s"r$round fetch+checkpoint")
         val warcPlan = Fetch.buildWarcRows(fetched, digestSeen, dopp, cdx, fcfg)
           .withColumn("round", lit(round))
         val warc = if (cfg.checkpointState) warcPlan.localCheckpoint() else warcPlan.cache()
+        lap(s"r$round warc+checkpoint")
         val newDigests = Fetch.newDigestEntries(warc, fcfg)
         val links = Fetch.outlinks(fetched, fcfg)
 
@@ -150,7 +162,12 @@ object Crawl {
           seenKeys = seenKeys.localCheckpoint()
           digestSeen = digestSeen.localCheckpoint()
           frontier = frontier.localCheckpoint()
+          // scheduled/fetched are fully consumed once the round's state is
+          // checkpointed (warc stays: the final output union reads it)
+          scheduled.unpersist(blocking = false)
+          fetched.unpersist(blocking = false)
         }
+        lap(s"r$round state checkpoints")
         totalScheduled += nScheduled
         allWarc = Some(allWarc.map(_.unionByName(warc)).getOrElse(warc))
         val nLinks = if (doStats) frontier.count() else -1L

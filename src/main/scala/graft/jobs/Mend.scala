@@ -1,0 +1,140 @@
+package graft.jobs
+
+import java.io.{EOFException, RandomAccessFile}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The `warc mend` job (A4 in SURVEY §2; reference:
+ * /root/reference/mend.go:298-375): scan a (possibly crash-truncated)
+ * plain `.warc[.open]` file with strict parsing and exact byte-offset
+ * tracking, truncate at the end of the last fully-valid record, and strip
+ * the `.open` suffix — "truncate to last valid", the file-level analog of
+ * the snapshot layer's ignore-partial-manifest rule.
+ *
+ * Scope: PLAIN WARC files get exact truncation (offsets are byte-precise).
+ * For `.warc.gz`, per-member offsets require the compressed member index the
+ * reference's counting reader maintains (read.go:50-83,319-341); our gzip
+ * sink writes one member per record, so a member index is the planned scale
+ * path — gzip files are reported, not truncated.
+ *
+ * Distribution: one file = one task (`mendAll` maps the file list across the
+ * cluster); mending is inherently per-file sequential, like the reference.
+ */
+object Mend {
+
+  case class MendResult(file: String, validRecords: Long, keptBytes: Long,
+                        truncatedBytes: Long, renamed: Boolean, error: String)
+
+  /** Minimal buffered reader with an exact absolute offset of the next unread byte. */
+  private final class OffsetReader(raf: RandomAccessFile) {
+    private val buf = new Array[Byte](1 << 16)
+    private var bufStart = 0L // file offset of buf(0)
+    private var bufLen = 0
+    private var cur = 0 // index into buf
+    def pos: Long = bufStart + cur
+    private def fill(): Boolean = {
+      bufStart = pos
+      cur = 0
+      raf.seek(bufStart)
+      bufLen = raf.read(buf)
+      bufLen > 0
+    }
+    def read(): Int = {
+      if (cur >= bufLen && !fill()) -1
+      else { val b = buf(cur) & 0xff; cur += 1; b }
+    }
+    def readLine(): String = {
+      val sb = new java.lang.StringBuilder(96)
+      var prev = -1
+      var c = read()
+      if (c == -1) return null
+      while (c != -1) {
+        if (prev == '\r' && c == '\n') {
+          sb.setLength(sb.length - 1)
+          return sb.toString
+        }
+        sb.append(c.toChar)
+        prev = c
+        c = read()
+      }
+      throw new EOFException("EOF mid-line")
+    }
+    def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        if (cur >= bufLen && !fill()) throw new EOFException(s"EOF in content, $left left")
+        val take = math.min(left, (bufLen - cur).toLong).toInt
+        cur += take; left -= take
+      }
+    }
+  }
+
+  /** Parse one strict record; throws on any malformation (mend.go:300-335). */
+  private def readOne(r: OffsetReader): Boolean = {
+    var line = r.readLine()
+    while (line != null && line.isEmpty) line = r.readLine()
+    if (line == null) return false // clean EOF at boundary
+    if (!line.startsWith("WARC/")) throw new IllegalStateException(s"bad version: '$line'")
+    var contentLength = -1L
+    var h = r.readLine()
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      if (i <= 0) throw new IllegalStateException(s"bad header line: '$h'")
+      if (h.substring(0, i).equalsIgnoreCase("content-length"))
+        contentLength = h.substring(i + 1).trim.toLong
+      h = r.readLine()
+    }
+    if (contentLength < 0) throw new IllegalStateException("missing Content-Length")
+    r.skipFully(contentLength)
+    val t = Array(r.read(), r.read(), r.read(), r.read())
+    if (t.contains(-1)) throw new EOFException("EOF in trailer")
+    if (!(t(0) == '\r' && t(1) == '\n' && t(2) == '\r' && t(3) == '\n'))
+      throw new IllegalStateException("missing \\r\\n\\r\\n trailer")
+    true
+  }
+
+  /** Mend one plain WARC file in place. */
+  def mendFile(pathStr: String): MendResult = {
+    val path = Paths.get(pathStr)
+    if (pathStr.endsWith(".gz") || pathStr.endsWith(".gz.open"))
+      return MendResult(pathStr, -1, Files.size(path), 0, renamed = false,
+        "gzip mend needs the member index (reported only)")
+    val size = Files.size(path)
+    val raf = new RandomAccessFile(path.toFile, "rw")
+    var records = 0L
+    var lastValidEnd = 0L
+    var err: String = null
+    try {
+      val r = new OffsetReader(raf)
+      try {
+        while (readOne(r)) { records += 1; lastValidEnd = r.pos }
+      } catch {
+        case e: Exception => err = e.getMessage
+      }
+      val truncated = size - lastValidEnd
+      if (err != null && truncated > 0) raf.setLength(lastValidEnd) // mend.go:349-352
+      val renamed =
+        if (pathStr.endsWith(".open")) {
+          raf.close()
+          Files.move(path, path.resolveSibling(
+            path.getFileName.toString.stripSuffix(".open")))
+          true
+        } else false
+      MendResult(pathStr, records, lastValidEnd,
+        if (err != null) truncated else 0L, renamed, err)
+    } finally if (raf.getFD.valid()) raf.close()
+  }
+
+  /** Mend every *.warc / *.warc.open under `dir`, one file per task. */
+  def mendAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.collection.JavaConverters._
+    val files = Files.list(Paths.get(dir)).iterator().asScala.map(_.toString)
+      .filter(f => f.endsWith(".warc") || f.endsWith(".warc.open")).toSeq.sorted
+    spark.sparkContext.parallelize(files, math.max(1, files.size))
+      .map(mendFile).toDF()
+  }
+}
