@@ -26,7 +26,10 @@ object ScalingBench {
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE on: measured faster at every level (its shuffle optimizations
+      // outweigh the per-stage driver re-planning cost on this workload)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false") // keep plans identical
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -96,8 +99,23 @@ object ScalingBench {
     // identical plan at every level: shuffle partitions and politeness slots
     // fixed (at 4x max cores for wave balance) so only scheduling-onto-cores
     // differs between levels
-    val shuffleParts = math.max(levels.max * 4, 64)
+    val shuffleParts = sys.env.get("SPARK_GRAFT_BENCH_PARTS").map(_.toInt)
+      .getOrElse(math.max(levels.max * 4, 64))
     val slots = shuffleParts
+
+    // pinned-run mode: one level per JVM (driven under `taskset -c 0..N-1` so
+    // GC/compiler/IO threads share the N cpus exactly like an N-core
+    // executor); results append to a JSONL file assembled externally
+    val jsonOut = sys.env.get("SPARK_GRAFT_BENCH_JSON_OUT")
+    if (jsonOut.isDefined) {
+      val n = levels.head
+      val (u, t) = measure(n, shuffleParts, nPages, nSeeds, rounds, slots, warmup = true)
+      val line = s"""{"level":$n,"urls":$u,"secs":$t,"pages":$nPages}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonOut.get), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      println(line)
+      return
+    }
 
     val results = levels.map { n =>
       val (u, t) = measure(n, shuffleParts, nPages, nSeeds, rounds, slots, warmup = true)
