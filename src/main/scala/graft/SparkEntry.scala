@@ -639,13 +639,17 @@ object SparkEntry {
         |    i -> toks[i+1] || ' ' || toks[i+2])) AS grams
         |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
         |        FROM documents) t WHERE len(toks) >= 2),
-        |  e AS (SELECT doc_id, grams, unnest(grams) AS gram FROM g),
-        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS g_a, b.grams AS g_b
-        |           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |  e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |  rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+        |  ce AS (SELECT e.doc_id, e.gram FROM e JOIN rare USING (gram)),
+        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |           FROM ce a JOIN ce b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |  j AS (SELECT id_a, id_b, ga.grams AS g_a, gb.grams AS g_b
+        |        FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b)
         |SELECT id_a, id_b,
         |       round(CAST(len(list_intersect(g_a, g_b)) AS DOUBLE) /
         |             (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))), 4) AS jaccard
-        |FROM cand
+        |FROM j
         |WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE) /
         |      (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
