@@ -47,23 +47,30 @@ object DedupOps {
       (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
         (m, i) => least(m, xxhash64(s, i))))
 
-  /** SimHash-64: sign of per-bit vote over token hashes. Bit positions are
-   *  Scala-level constants, so shifts stay literal (codegen-friendly). */
-  def simhash64(tokensCol: Column): Column = {
-    // votes: array[64] of +-1 sums; bit i of token hash h = (h >> i) & 1
-    val votes = aggregate(
-      tokensCol,
+  /** Per-bit vote vector (array[64] of +-1 sums) over PRE-HASHED tokens.
+    * Taking a hash-array column keeps the lambda variable cheap: hashing
+    * inside the vote lambda would re-run xxhash64 64x per token (HOF
+    * recompute trap — see minhashSignature). */
+  def simhashVotes(tokenHashes: Column): Column =
+    aggregate(
+      tokenHashes,
       array((0 until 64).map(_ => lit(0)): _*),
-      (acc, t) => {
-        val h = xxhash64(t)
-        val bitVotes = array((0 until 64).map(i =>
-          when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
-        zip_with(acc, bitVotes, (a, b) => a + b)
-      })
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+        (a, b) => a + b))
+
+  /** Sign-combine a STAGED vote vector into the 64-bit simhash. `votes` is
+    * referenced 64x — it must be an attribute, or the fold runs 64 times. */
+  def simhashFromVotes(votes: Column): Column =
     (0 until 64).map(i =>
       when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-  }
+
+  /** SimHash-64 of a token array (convenience; prefer the staged form in
+    * pipelines — see simhashPairs). */
+  def simhash64(tokensCol: Column): Column =
+    simhashFromVotes(simhashVotes(transform(tokensCol, t => xxhash64(t))))
 
   /** 16-bit bands of a 64-bit simhash (candidate key: one matching band). */
   def simhashBands(simhash: Column): Column =
@@ -128,11 +135,14 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash near-duplicate pairs: banded candidates, Hamming-verified. */
+  /** SimHash near-duplicate pairs: banded candidates, Hamming-verified.
+    * Stages: tokens -> hashes -> votes -> simhash, each an attribute. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("simhash", simhash64(col("toks")))
+      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("id"), simhashVotes(col("th")).as("votes"))
+      .withColumn("simhash", simhashFromVotes(col("votes")))
     val banded = withSim.select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band"), col("b.value"))
     val l = banded.select(col("band"), col("value"), col("id").as("id_a"), col("simhash").as("sim_a"))
