@@ -1,0 +1,79 @@
+package graft
+
+/**
+ * Physical-plan quality gates: these assert the *shape* Catalyst produces,
+ * not results — a correct query that scans all columns or shuffles a
+ * broadcastable dimension would pass every value check and still be wrong
+ * at 100 TB. (SURVEY §4: pushdown/pruning/broadcast are the native wins the
+ * engine must not accidentally disable.)
+ */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan as text — the adaptive plan's toString
+    * appends "== Initial Plan ==" after the final plan; cut it off so node
+    * counts aren't doubled. */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("q01: filters push to the parquet scan and the schema is pruned") {
+    val plan = planOf("q01_filter_project")
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"), plan.take(900))
+    assert(!plan.contains("l_comment"), "scan reads unneeded columns:\n" + plan.take(900))
+  }
+
+  test("q03: the customer dimension joins as a broadcast hash join") {
+    val plan = planOf("q03_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("q11: nation and region join broadcast (no shuffle for small dims)") {
+    val plan = planOf("q11_region_revenue")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      "expected >=2 broadcast joins:\n" + plan.take(1500))
+  }
+
+  test("q15: the seen-set prefilter probes the bloom filter before any join") {
+    val df = SparkEntry.queries("q15_seen_antijoin")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain_filter"), plan.take(1200))
+  }
+
+  test("q02: aggregation is partial (map-side combine), one hash-exchange") {
+    val plan = planOf("q02_agg_returnflag")
+    assert(plan.contains("partial_sum"), "no map-side partial agg:\n" + plan.take(1200))
+    val hashExchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashExchanges == 1, s"agg should hash-shuffle once, got $hashExchanges")
+  }
+
+  test("scheduler canonicalize dedups via aggregate with partial combine, not a sort window") {
+    val seeds = graft.web.SyntheticWeb.seeds(spark, 200, 1000)
+    val canon = graft.frontier.Scheduler.canonicalize(
+      graft.web.SyntheticWeb.seedFrontier(seeds))
+    canon.collect()
+    val plan = canon.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), "no map-side combine:\n" + plan.take(1000))
+    assert(!plan.contains("Window"), "canonicalize regressed to a window:\n" + plan.take(1000))
+  }
+
+  test("WARC source: pruning and warc_type pushdown visible in the scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("planspec").toString
+    import spark.implicits._
+    val rows = Seq(("WARC/1.1", Map("WARC-Type" -> "response", "WARC-Record-ID" -> "<urn:uuid:p>"), "x"))
+      .toDF("version", "headers", "content")
+    graft.sources.WarcSink.write(rows.coalesce(1), tmp)
+    val q = spark.read.format("graft.sources.WarcDataSource").load(tmp)
+      .filter(col("warc_type") === "response").select("record_id")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[EqualTo(warc_type,response)]"), plan.take(900))
+    assert(plan.contains("columns=record_id,warc_type"), plan.take(900))
+  }
+}
