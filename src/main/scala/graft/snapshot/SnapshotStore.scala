@@ -113,6 +113,22 @@ class SnapshotStore(val root: String) {
     latest.flatMap(m => m.files.get(table)).filter(_.nonEmpty)
       .map(files => spark.read.parquet(files: _*))
 
+  /** Time travel: read a table as of snapshot `version` (Iceberg's
+    * `VERSION AS OF` — possible because manifests are immutable and data
+    * files are never rewritten, only appended or dereferenced). */
+  def readAt(spark: SparkSession, table: String, version: Int): Option[DataFrame] =
+    readManifest(version).flatMap(m => m.files.get(table)).filter(_.nonEmpty)
+      .map(files => spark.read.parquet(files: _*))
+
+  /** All committed snapshot versions, ascending (the snapshot log). */
+  def versions: Seq[Int] = {
+    import scala.collection.JavaConverters._
+    Files.list(manifestsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted
+  }
+
   /** Delete data files not referenced by the latest manifest (mend analog). */
   def vacuum(): Seq[String] = {
     val referenced = latest.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
