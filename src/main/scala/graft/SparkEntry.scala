@@ -486,6 +486,14 @@ object SparkEntry {
         .groupBy(TextOps.qualityScore(col("text")).as("score"))
         .agg(count(lit(1)).as("n"))
         .orderBy("score")
+    }),
+
+    "q45_digest_blake3" -> ((s, dir) => {
+      // X4 full algo parity: BLAKE3 in gowarc's prefixed format (digest.go:73-76);
+      // spec-implemented, golden-tested — no DuckDB blake3, so rows-only check
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.WarcDigest.warc_blake3(col("text")).as("digest"))
+        .orderBy("doc_id")
     })
   )
 

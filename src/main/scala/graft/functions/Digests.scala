@@ -52,12 +52,13 @@ object DigestUtil {
 
   private def md(algo: String) = java.security.MessageDigest.getInstance(algo)
 
-  /** `algo` is one of sha1 | sha256b32 | sha256 (hex). Used from generated code. */
+  /** `algo` is one of sha1 | sha256b32 | sha256 (hex) | blake3. Used from generated code. */
   def digest(data: Array[Byte], algo: String): UTF8String = {
     val s = algo match {
       case "sha1"      => "sha1:" + base32(md("SHA-1").digest(data))
       case "sha256b32" => "sha256:" + base32(md("SHA-256").digest(data))
       case "sha256"    => "sha256:" + hex(md("SHA-256").digest(data))
+      case "blake3"    => "blake3:" + hex(Blake3.hash(data)) // digest.go:73-76 format
       case other       => throw new IllegalArgumentException(s"unknown digest algo: $other")
     }
     UTF8String.fromString(s)
@@ -73,7 +74,7 @@ object DigestUtil {
  */
 case class WarcDigest(child: Expression, algo: String)
     extends UnaryExpression {
-  require(Set("sha1", "sha256b32", "sha256").contains(algo), s"bad algo $algo")
+  require(Set("sha1", "sha256b32", "sha256", "blake3").contains(algo), s"bad algo $algo")
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any = v match {
     case s: UTF8String  => DigestUtil.digestStr(s, algo)
@@ -105,4 +106,6 @@ object WarcDigest {
     Bridge.column(WarcDigest(Bridge.expression(c), "sha256b32"))
   def warc_sha256_hex(c: Column): Column =
     Bridge.column(WarcDigest(Bridge.expression(c), "sha256"))
+  def warc_blake3(c: Column): Column =
+    Bridge.column(WarcDigest(Bridge.expression(c), "blake3"))
 }
