@@ -120,15 +120,17 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b") // a pair can collide in several bands
 
     // exact Jaccard verification: join shingle sets back per side, as
-    // 64-bit hashes — set intersection over longs is ~an order of magnitude
-    // cheaper than over strings, and a 64-bit collision changing a Jaccard
-    // value is negligible (the sets are per-document, a few hundred entries)
+    // SORTED 64-bit hash arrays — the merge-walk intersection (custom
+    // codegen expression) replaces array_intersect's per-pair hash set; a
+    // 64-bit collision changing a Jaccard value is negligible (the sets are
+    // per-document, a few hundred entries)
     val hashedSets = withShingles.select(col("id"),
-      array_distinct(transform(col("shingles"), s => xxhash64(s))).as("hs"))
+      array_sort(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("hs"))
     val shA = hashedSets.select(col("id").as("id_a"), col("hs").as("sh_a"))
     val shB = hashedSets.select(col("id").as("id_b"), col("hs").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.functions.ArraySetOps
+      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
     candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("jaccard", when(union === 0, lit(1.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
