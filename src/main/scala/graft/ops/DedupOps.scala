@@ -183,12 +183,19 @@ object DedupOps {
     val candidates = l.join(r, Seq("g")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val gA = grams.select(col("id").as("id_a"), col("grams").as("g_a"))
-    val gB = grams.select(col("id").as("id_b"), col("grams").as("g_b"))
+    // verification over sorted hashed gram sets (merge-walk intersection):
+    // |∩| and |∪| equal the string-set values (64-bit collisions within
+    // ~100-gram documents are ~1e-16 per pair), so the exact-Jaccard
+    // semantics — and the DuckDB oracle — are preserved
+    val hashed = grams.select(col("id"),
+      array_sort(transform(col("grams"), g => xxhash64(g))).as("hg"))
+    val gA = hashed.select(col("id").as("id_a"), col("hg").as("g_a"))
+    val gB = hashed.select(col("id").as("id_b"), col("hg").as("g_b"))
+    val inter = graft.functions.ArraySetOps
+      .sorted_intersect_count(col("g_a"), col("g_b")).cast("double")
+    val union = size(col("g_a")) + size(col("g_b")) - inter
     candidates.join(gA, Seq("id_a")).join(gB, Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("jaccard", when(union === 0, lit(1.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
