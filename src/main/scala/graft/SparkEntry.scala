@@ -252,10 +252,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .withColumn("vq", transform(col("embedding"), x => round(x * 1000, 0).cast("double")))
       val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("vq").as("qv"))
+        .withColumn("qn", DedupOps.vecNorm(col("qv")))
       e.select(col("vec_id").as("id"), col("vq").as("v"))
+        .withColumn("n", DedupOps.vecNorm(col("v"))) // staged once per vector
         .join(broadcast(q))
         .filter(col("qid") =!= col("id"))
-        .withColumn("cosine", DedupOps.cosineSim(col("v"), col("qv")))
+        .withColumn("cosine", DedupOps.cosineFromParts(
+          DedupOps.dotProduct(col("v"), col("qv")), col("n"), col("qn")))
         .filter(col("cosine") >= 0.25)
         .select(col("qid"), col("id"), round(col("cosine"), 3).as("cosine"))
         .orderBy("qid", "id")
@@ -700,7 +703,7 @@ object SparkEntry {
         |         'WARC-Date: 2023-11-14T22:13:20Z' || chr(13)||chr(10) ||
         |         'WARC-Type: resource' || chr(13)||chr(10) ||
         |         'WARC-Record-ID: <urn:uuid:rec-' || doc_id || '>' || chr(13)||chr(10) ||
-        |         'Content-Length: ' || length(text) || chr(13)||chr(10) ||
+        |         'Content-Length: ' || strlen(text) || chr(13)||chr(10) ||
         |         'WARC-Target-URI: http://h' || (doc_id % 7) || '.example/d' || doc_id || chr(13)||chr(10) ||
         |         'Content-Type: text/plain' || chr(13)||chr(10) ||
         |         chr(13)||chr(10) || text || chr(13)||chr(10) || chr(13)||chr(10) AS rec

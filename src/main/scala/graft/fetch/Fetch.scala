@@ -101,17 +101,37 @@ object Fetch {
     val cdxT = cdx.map(_.select(col("digest").as("cdx_digest"), col("uri").as("cdx_uri"),
       col("ts_compact").as("cdx_ts")))
 
-    var df = fetched
-      .withColumn("dup_rank", when(eligible, row_number().over(wDigest)).otherwise(lit(1)))
+    // SKEW GUARD (VERDICT r1 "what's wrong" #2): the digest window and the
+    // dedup-tier joins run over the ELIGIBLE slice only. Ineligible rows are
+    // hot-key magnets — every 404 carries the digest of "" and every tiny
+    // page shares few distinct digests — and a `when(eligible, rank)` only
+    // nulls the rank, it still SHUFFLES every such row into one digest
+    // partition. Eligibility is uniform within a digest group (same payload
+    // => same size; 404s all hash to an empty digest that is itself
+    // ineligible), so windowing the slice yields identical ranks/firsts.
+    val fe = fetched.filter(eligible)
+      .withColumn("dup_rank", row_number().over(wDigest))
       .withColumn("first_url_key", first(col("url_key")).over(wDigest))
       .withColumn("first_uri", first(col("url")).over(wDigest))
-      .join(seen, col("payload_digest") === col("seen_digest") && eligible, "left")
-    df = dgT.map(t => df.join(t, col("payload_digest") === col("dg_digest") && eligible, "left")).getOrElse(
-      df.withColumn("dg_digest", lit(null)).withColumn("dg_id", lit(null))
+    var dfe = fe.join(seen, col("payload_digest") === col("seen_digest"), "left")
+    dfe = dgT.map(t => dfe.join(t, col("payload_digest") === col("dg_digest"), "left")).getOrElse(
+      dfe.withColumn("dg_digest", lit(null)).withColumn("dg_id", lit(null))
         .withColumn("dg_uri", lit(null)).withColumn("dg_date", lit(null)))
-    df = cdxT.map(t => df.join(t, col("payload_digest") === col("cdx_digest") && eligible, "left")).getOrElse(
-      df.withColumn("cdx_digest", lit(null)).withColumn("cdx_uri", lit(null))
+    dfe = cdxT.map(t => dfe.join(t, col("payload_digest") === col("cdx_digest"), "left")).getOrElse(
+      dfe.withColumn("cdx_digest", lit(null)).withColumn("cdx_uri", lit(null))
         .withColumn("cdx_ts", lit(null)))
+
+    // ineligible slice: never windowed, never joined — rank 1, all tier
+    // columns null, schema-aligned to the joined side by name+type
+    val fi0 = fetched.filter(!eligible)
+      .withColumn("dup_rank", lit(1))
+      .withColumn("first_url_key", col("url_key"))
+      .withColumn("first_uri", col("url"))
+    val fiCols = fi0.columns.toSet
+    val fi = dfe.schema.fields.foldLeft(fi0) { (d, f) =>
+      if (fiCols.contains(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val df = dfe.unionByName(fi)
 
     // tier precedence: local (prior rounds) -> doppelganger -> cdx ->
     // intra-round local (an earlier insert this round). A remote hit applies

@@ -115,9 +115,15 @@ object Mend {
         case e: Exception => err = e.getMessage
       }
       val truncated = size - lastValidEnd
-      if (err != null && truncated > 0) raf.setLength(lastValidEnd) // mend.go:349-352
+      // Truncate only when at least one valid record exists (the reference's
+      // needsTruncate = lastValidEndPos > 0 guard): a wholly-corrupt file —
+      // e.g. a crash before the FIRST record completed — is left untouched
+      // for manual recovery, .open suffix included; truncating it to zero
+      // bytes and renaming would destroy exactly the evidence mend exists to
+      // preserve.
+      if (err != null && lastValidEnd > 0 && truncated > 0) raf.setLength(lastValidEnd)
       val renamed =
-        if (pathStr.endsWith(".open")) {
+        if (pathStr.endsWith(".open") && (err == null || lastValidEnd > 0)) {
           raf.close()
           Files.move(path, path.resolveSibling(
             path.getFileName.toString.stripSuffix(".open")))
@@ -128,12 +134,16 @@ object Mend {
     } finally if (raf.getFD.valid()) raf.close()
   }
 
-  /** Mend every *.warc / *.warc.open under `dir`, one file per task. */
+  /** Mend every *.warc[.gz][.open] under `dir`, one file per task. */
   def mendAll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import scala.collection.JavaConverters._
-    val files = Files.list(Paths.get(dir)).iterator().asScala.map(_.toString)
-      .filter(f => f.endsWith(".warc") || f.endsWith(".warc.open")).toSeq.sorted
+    val listing = Files.list(Paths.get(dir))
+    val files =
+      try listing.iterator().asScala.map(_.toString)
+        .filter(f => f.endsWith(".warc") || f.endsWith(".warc.open") ||
+          f.endsWith(".warc.gz") || f.endsWith(".warc.gz.open")).toSeq.sorted
+      finally listing.close()
     spark.sparkContext.parallelize(files, math.max(1, files.size))
       .map(mendFile).toDF()
   }

@@ -36,17 +36,29 @@ class SnapshotStore(val root: String) {
 
   val ReplaceTables: Set[String] = Set("frontier", "filters")
 
+  // Files.list/Files.walk streams hold a directory fd until closed; these run
+  // on the driver once per commit/read, so leaking them accumulates open fds
+  // over a long crawl. Materialize under try/finally.
+  private def listNames(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector finally s.close()
+  }
+  private def walkFiles(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  private def manifestVersions: Seq[Int] =
+    listNames(manifestsDir)
+      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
+      .sorted
+
   case class Manifest(version: Int, round: Int, parent: Int,
                       files: Map[String, Seq[String]],
                       counts: Map[String, Long])
 
-  def latest: Option[Manifest] = {
-    val versions = Files.list(manifestsDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq.sorted.reverse
-    versions.iterator.flatMap(v => readManifest(v)).toStream.headOption
-  }
+  def latest: Option[Manifest] =
+    manifestVersions.reverseIterator.flatMap(v => readManifest(v)).take(1).toSeq.headOption
 
   private def readManifest(version: Int): Option[Manifest] =
     try {
@@ -69,10 +81,9 @@ class SnapshotStore(val root: String) {
     tables.foreach { case (name, df) =>
       val dir = dataDir.resolve(name).resolve(s"r$round")
       df.write.mode("overwrite").parquet(dir.toString)
-      val files = Files.walk(dir).iterator().asScala
+      written(name) = walkFiles(dir)
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq.sorted
-      written(name) = files
+        .map(_.toString).sorted
     }
     // cumulative file lists for append tables
     val prevFiles = parent.map(_.files).getOrElse(Map.empty)
@@ -121,20 +132,14 @@ class SnapshotStore(val root: String) {
       .map(files => spark.read.parquet(files: _*))
 
   /** All committed snapshot versions, ascending (the snapshot log). */
-  def versions: Seq[Int] = {
-    import scala.collection.JavaConverters._
-    Files.list(manifestsDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq.sorted
-  }
+  def versions: Seq[Int] = manifestVersions
 
   /** Delete data files not referenced by the latest manifest (mend analog). */
   def vacuum(): Seq[String] = {
     val referenced = latest.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
     val removed = mutable.Buffer[String]()
     if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala
+      walkFiles(dataDir)
         .filter(p => Files.isRegularFile(p))
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .filter(p => !referenced.contains(p.toString))

@@ -30,15 +30,32 @@ object WarcIO {
 
   private val CRLF = "\r\n".getBytes(StandardCharsets.US_ASCII)
 
-  /** Sniff gzip magic (read.go:358-364) and wrap; GZIPInputStream reads
-    * concatenated members transparently (the Multistream(false) reset loop
-    * in read.go:243-254 collapses to one continuous stream here). */
+  /** Sniff the compression magic (read.go:358-374) and wrap; GZIPInputStream
+    * reads concatenated members transparently (the Multistream(false) reset
+    * loop in read.go:243-254 collapses to one continuous stream here).
+    * Codecs the reference supports but that ship no offline decoder here
+    * (zstd, zstd+dictionary skippable frame, bzip2, xz) are RECOGNIZED and
+    * reported with a precise error instead of being mis-parsed as WARC text. */
   def open(in: InputStream): InputStream = {
     val buf = new BufferedInputStream(in, 1 << 16)
-    buf.mark(2)
-    val b0 = buf.read(); val b1 = buf.read()
+    buf.mark(4)
+    val b = Array(buf.read(), buf.read(), buf.read(), buf.read())
     buf.reset()
-    if (b0 == 0x1f && b1 == 0x8b) new BufferedInputStream(new GZIPInputStream(buf, 1 << 16), 1 << 16)
+    def is(magic: Int*): Boolean = magic.zipWithIndex.forall { case (m, i) => b(i) == m }
+    if (is(0x1f, 0x8b)) new BufferedInputStream(new GZIPInputStream(buf, 1 << 16), 1 << 16)
+    else if (is(0x28, 0xb5, 0x2f, 0xfd))
+      throw new UnsupportedOperationException(
+        "zstd-compressed WARC detected (magic 28 b5 2f fd); no zstd codec ships offline")
+    else if (is(0x5d, 0x2a, 0x4d, 0x18))
+      throw new UnsupportedOperationException(
+        "zstd skippable dictionary frame detected (magic 5d 2a 4d 18, utils.go:42-73); " +
+          "no zstd codec ships offline")
+    else if (is('B', 'Z', 'h'))
+      throw new UnsupportedOperationException(
+        "bzip2-compressed WARC detected (magic BZh); no bzip2 codec ships offline")
+    else if (is(0xfd, '7', 'z', 'X'))
+      throw new UnsupportedOperationException(
+        "xz-compressed WARC detected (magic fd 37 7a 58); no xz codec ships offline")
     else buf
   }
 
@@ -156,9 +173,16 @@ object WarcIO {
    * underlying stream.
    */
   def writeGzipMember(out: OutputStream)(body: OutputStream => Unit): Unit = {
-    val gz = new GZIPOutputStream(out, 1 << 16)
+    // close() (not just finish()) so the Deflater's native zlib buffers are
+    // end()'d — one GZIPOutputStream per record otherwise leaks one native
+    // allocation per record until GC cleaners run. The shield keeps the
+    // underlying file stream open across members.
+    val shield = new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+      override def close(): Unit = out.flush()
+    }
+    val gz = new GZIPOutputStream(shield, 1 << 16)
     body(gz)
-    gz.finish() // closes the member, keeps the file stream open
-    gz.flush()
+    gz.close() // finish member + Deflater.end(); shield.close() only flushes
   }
 }

@@ -46,7 +46,12 @@ object RecordSerializer {
         lit("\r\n") :+ coalesce(content, lit("")) :+ lit("\r\n\r\n"): _*)
   }
 
-  /** Convenience: a `resource` record (the WriteRecord default type, write.go:75). */
+  /** Convenience: a `resource` record (the WriteRecord default type, write.go:75).
+    * Content-Length is the OCTET count of the content block (WARC 1.1 §5.3;
+    * the reference measures spooled bytes, write.go:84-90) — `octet_length`,
+    * not `length`: character-counting would declare a length that disagrees
+    * with the UTF-8 byte length for any non-ASCII content, producing a record
+    * neither WarcIO nor the reference could read back. */
   def resourceRecord(recordId: Column, date: Column, targetUri: Column,
                      contentType: Column, content: Column,
                      version: String = "WARC/1.1"): Column =
@@ -54,7 +59,7 @@ object RecordSerializer {
       "WARC-Date" -> date,
       "WARC-Type" -> lit("resource"),
       "WARC-Record-ID" -> recordId,
-      "Content-Length" -> length(coalesce(content, lit(""))).cast("string"),
+      "Content-Length" -> octet_length(coalesce(content, lit(""))).cast("string"),
       "WARC-Target-URI" -> targetUri,
       "Content-Type" -> contentType), content)
 
