@@ -185,9 +185,9 @@ object SparkEntry {
       // exact anti-join (same result as plain NOT EXISTS — no false negatives)
       val d = t(s, dir, "documents").withColumn("url_key", md5(col("text")))
       val seen = d.filter(col("doc_id") % 3 === 0).select("url_key")
-      val filters = SeenSetOps.buildFilters(seen, "url_key", numShards = 4,
+      val filters = SeenSetOps.buildFilterTable(seen, "url_key", numShards = 4,
         blocksPerShard = 64, cuckooBucketsPerShard = 1 << 12)
-      SeenSetOps.notSeen(d, "url_key", Some(filters.bloomFilter), seen)
+      SeenSetOps.notSeen(d, "url_key", Some(filters), seen)
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.UrlCanonicalize.url_canonicalize
-import graft.seen.{MembershipFilter, SeenSetOps}
+import graft.seen.SeenSetOps
 
 /**
  * The politeness-ordered frontier scheduler (SURVEY §2.6 W5) — the component
@@ -85,7 +85,7 @@ object Scheduler {
   def schedule(spark: SparkSession,
                candidates: DataFrame,
                seenKeys: DataFrame, // exact seen table: url_key column
-               seenFilter: Option[MembershipFilter],
+               seenFilter: Option[SeenSetOps.FilterTable],
                robots: Option[DataFrame],
                cfg: Config): DataFrame = {
     val canon = canonicalize(candidates)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.fetch.Fetch
 import graft.frontier.Scheduler
 import graft.seen.SeenSetOps
-import graft.seen.SeenSetOps.ShardedFilters
+import graft.seen.SeenSetOps.FilterTable
 import graft.snapshot.SnapshotStore
 
 /**
@@ -82,17 +82,10 @@ object Crawl {
       .getOrElse(spark.range(0).select(col("id").cast("string").as("url_key")).limit(0))
     var digestSeen = resumed.flatMap(_ => store.get.read(spark, "digest_seen"))
       .getOrElse(emptyDigestSeen(spark))
-    var filters: Option[ShardedFilters] = resumed.flatMap { _ =>
-      store.get.read(spark, "filters").map { df =>
-        val rows = df.collect()
-        val bloom = Array.fill(cfg.numShards)(graft.seen.BlockedBloom(cfg.bloomBlocksPerShard).serialize())
-        val cuckoo = Array.fill(cfg.numShards)(graft.seen.CuckooFilter(cfg.cuckooBucketsPerShard).serialize())
-        rows.foreach { r =>
-          val s = r.getAs[Int]("shard")
-          bloom(s) = r.getAs[Array[Byte]]("bloom"); cuckoo(s) = r.getAs[Array[Byte]]("cuckoo")
-        }
-        ShardedFilters(cfg.numShards, bloom, cuckoo)
-      }
+    // the filter state IS a table: resume reads it back without the blobs
+    // ever visiting the driver (round-1 rebuilt a driver-side blob array)
+    var filters: Option[FilterTable] = resumed.flatMap { _ =>
+      store.get.read(spark, "filters").map(df => FilterTable(df, cfg.numShards))
     }
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -112,15 +105,25 @@ object Crawl {
       val fcfg = Fetch.Config(round, cfg.baseEpoch + round, cfg.dedupSizeThreshold)
 
       val scheduledPlan = Scheduler.schedule(spark, frontier, seenKeys,
-        if (cfg.useBloomPrefilter) filters.map(_.bloomFilter) else None,
+        if (cfg.useBloomPrefilter) filters else None,
         robots, Scheduler.Config(cfg.perHostBudget, cfg.maxPerRound, cfg.numSlots, salt = round))
       val scheduled =
         if (cfg.checkpointState) scheduledPlan.localCheckpoint() else scheduledPlan.cache()
       lap(s"r$round schedule+checkpoint")
-      // filter build doubles as the round's count (one job, not two)
-      val (newFilters, nScheduled) = SeenSetOps.buildFiltersCounted(
+      // build the round's shard filters distributed (one aggregation; only P
+      // blobs shuffle, none reach the driver) and materialize them; the
+      // round's count is then a P-row sum over the materialized table — the
+      // driver sees ONE long, not the blobs.
+      val newFiltersPlan = SeenSetOps.buildFilterTable(
         scheduled.select(col("url_key")), "url_key", cfg.numShards,
         cfg.bloomBlocksPerShard, cfg.cuckooBucketsPerShard)
+      val newFilters = FilterTable(
+        if (cfg.checkpointState) newFiltersPlan.df.localCheckpoint()
+        else newFiltersPlan.df.cache(), cfg.numShards)
+      val nScheduled = newFilters.df.agg(sum(col("n"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
       lap(s"r$round filters+count")
 
       if (nScheduled == 0) {
@@ -153,7 +156,8 @@ object Crawl {
         val nRevisit = byTier.filterKeys(_ != "none").values.sum
 
         val newSeen = scheduled.select(col("url_key"))
-        filters = Some(filters.map(_.merge(newFilters)).getOrElse(newFilters))
+        filters = Some(filters.map(f => SeenSetOps.mergeFilterTables(f, newFilters))
+          .getOrElse(newFilters))
         seenKeys = seenKeys.unionByName(newSeen)
         digestSeen = digestSeen.unionByName(newDigests.select(
           col("payload_digest"), col("record_id"), col("target_uri"), col("warc_date"), col("size")))
@@ -162,6 +166,9 @@ object Crawl {
           seenKeys = seenKeys.localCheckpoint()
           digestSeen = digestSeen.localCheckpoint()
           frontier = frontier.localCheckpoint()
+          // merged filter table: P small rows; checkpoint truncates the
+          // union-groupBy lineage chain across rounds
+          filters = filters.map(f => FilterTable(f.df.localCheckpoint(), f.numShards))
           // scheduled/fetched are fully consumed once the round's state is
           // checkpointed (warc stays: the final output union reads it)
           scheduled.unpersist(blocking = false)
@@ -175,9 +182,7 @@ object Crawl {
 
         store.foreach { s =>
           import spark.implicits._
-          val filterDf = filters.get.bloom.indices
-            .map(i => (i, filters.get.bloom(i), filters.get.cuckoo(i)))
-            .toDF("shard", "bloom", "cuckoo")
+          val filterDf = filters.get.df
           val metricsDf = (byTier.toSeq :+ ("bytes" -> bytes))
             .toDF("metric", "value").withColumn("round", lit(round))
           s.commit(round, Map(
@@ -195,6 +200,7 @@ object Crawl {
           seenKeys = s.read(spark, "url_seen").get
           digestSeen = s.read(spark, "digest_seen").get
           frontier = s.read(spark, "frontier").get
+          filters = s.read(spark, "filters").map(df => FilterTable(df, cfg.numShards))
           allWarc = s.read(spark, "warc_rows")
         }
 

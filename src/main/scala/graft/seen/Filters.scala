@@ -18,6 +18,24 @@ trait MembershipFilter extends Serializable {
   def mightContain(hash: Long): Boolean
 }
 
+object MembershipFilter {
+  /** The filter of an empty key set: definitely-not-seen for every probe.
+    * Used for shards no key ever hashed into (absent filter-table rows). */
+  val Empty: MembershipFilter = new MembershipFilter {
+    override def mightContain(hash: Long): Boolean = false
+  }
+
+  /** Deserialize a filter blob by its version tag (1 = blocked Bloom,
+    * 2 = cuckoo) — the dispatch that lets a shard-keyed filter TABLE carry
+    * either structure in one binary column. */
+  def deserializeAny(bytes: Array[Byte]): MembershipFilter =
+    ByteBuffer.wrap(bytes).getInt(0) match {
+      case 1 => BlockedBloom.deserialize(bytes)
+      case 2 => CuckooFilter.deserialize(bytes)
+      case v => throw new IllegalArgumentException(s"unknown filter version $v")
+    }
+}
+
 /**
  * Cache-line-blocked Bloom filter: k=8 probes confined to one 512-bit block
  * (one cache line), block chosen by the upper hash half — the standard

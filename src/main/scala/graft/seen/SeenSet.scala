@@ -10,11 +10,21 @@ import org.apache.spark.sql.functions._
  * definitely hasn't seen skips the exact anti-join entirely (no false
  * negatives), so at steady state only the small maybe-seen slice shuffles.
  *
- * Sharding: shard = floorMod(xxhash64(url_key), P). The same key hashing
- * partitions the exact table, so shard filters co-locate with their data
- * files in the snapshot layer and merge independently per round. At the
- * 10^10-URL design point: P=1024 shards x ~12 MB blocked-Bloom each
- * (10 bits/key) — each executor holds only the shards it probes.
+ * Lifecycle (everything stays distributed — no blob ever rides the driver):
+ *  - shard = pmod(xxhash64(url_key), P); the same hashing partitions the
+ *    exact table, so shard filters co-locate with their data files.
+ *  - build: one aggregation per round — partial filter build map-side, only
+ *    P blobs cross the shuffle ([[buildFilterTable]]).
+ *  - merge across rounds: `union.groupBy(shard).agg(bloom_merge_agg, ...)`
+ *    ([[mergeFilterTables]]) — a P-row distributed job, NOT a driver loop.
+ *  - probe: join the filter table onto candidates by shard and evaluate
+ *    `might_contain_blob` ([[notSeen]]). Catalyst/AQE picks the join
+ *    distribution from the table's size stats: at local/test scale the
+ *    P-row table broadcasts (no candidate shuffle at all); at the 10^10-URL
+ *    design point (P=1024 x ~12 MB blobs = 12.5 GB — far beyond any
+ *    broadcast or driver heap) it becomes a shard-aligned shuffle join where
+ *    each task holds ONLY the shards it probes. Either way the blob is
+ *    deserialized once per shard per task (ShardFilterCache), never per row.
  */
 object SeenSetOps {
 
@@ -22,72 +32,67 @@ object SeenSetOps {
 
   def keyHash(keyCol: Column): Column = xxhash64(lit(HASH_SEED), keyCol)
 
-  /** One filter pair per shard, built map-side-parallel in a single pass. */
-  case class ShardedFilters(numShards: Int,
-                            bloom: Array[Array[Byte]],
-                            cuckoo: Array[Array[Byte]]) extends Serializable {
-    def bloomFilter: PartitionedFilter =
-      new PartitionedFilter(bloom.map(b => BlockedBloom.deserialize(b): MembershipFilter))
-    def cuckooFilter: PartitionedFilter =
-      new PartitionedFilter(cuckoo.map(b => CuckooFilter.deserialize(b): MembershipFilter))
-
-    /** OR/absorb another round's shard filters into this one. */
-    def merge(other: ShardedFilters): ShardedFilters = {
-      require(other.numShards == numShards)
-      val b = bloom.zip(other.bloom).map { case (x, y) =>
-        BlockedBloom.deserialize(x).or(BlockedBloom.deserialize(y)).serialize() }
-      val c = cuckoo.zip(other.cuckoo).map { case (x, y) =>
-        CuckooFilter.deserialize(x).absorb(CuckooFilter.deserialize(y)).serialize() }
-      ShardedFilters(numShards, b, c)
-    }
-  }
+  /** A shard-keyed filter table: (shard int, bloom binary, cuckoo binary,
+    * n long) with one row per shard that has ever received a key. */
+  case class FilterTable(df: DataFrame, numShards: Int)
 
   /**
-   * Build shard filters from a key column in one aggregation (partial
-   * filter-build map-side; only P filter blobs cross the shuffle).
-   * Returns the key count alongside — callers use it instead of a separate
-   * count() job (one Spark job + one codegen'd plan fewer per round).
+   * Build the round's shard filters in one aggregation (partial filter-build
+   * map-side; only P filter blobs cross the shuffle). The per-shard key
+   * count `n` rides along so callers get the round's total without a second
+   * scan of the keys.
    */
-  def buildFiltersCounted(keys: DataFrame, keyCol: String, numShards: Int,
-                          blocksPerShard: Int, cuckooBucketsPerShard: Int): (ShardedFilters, Long) = {
+  def buildFilterTable(keys: DataFrame, keyCol: String, numShards: Int,
+                       blocksPerShard: Int, cuckooBucketsPerShard: Int): FilterTable = {
     val h = keyHash(col(keyCol))
-    val rows = keys
+    val df = keys
       .select(h.as("h"), pmod(h, lit(numShards.toLong)).cast("int").as("shard"))
       .groupBy("shard")
       .agg(
         FilterExprs.bloom_agg(col("h"), blocksPerShard).as("bloom"),
         FilterExprs.cuckoo_agg(col("h"), cuckooBucketsPerShard).as("cuckoo"),
         count(lit(1)).as("n"))
-      .collect()
-    val bloom = Array.fill(numShards)(BlockedBloom(blocksPerShard).serialize())
-    val cuckoo = Array.fill(numShards)(CuckooFilter(cuckooBucketsPerShard).serialize())
-    var total = 0L
-    rows.foreach { r =>
-      val s = r.getInt(0)
-      bloom(s) = r.getAs[Array[Byte]](1)
-      cuckoo(s) = r.getAs[Array[Byte]](2)
-      total += r.getAs[Long](3)
-    }
-    (ShardedFilters(numShards, bloom, cuckoo), total)
+    FilterTable(df, numShards)
   }
 
-  def buildFilters(keys: DataFrame, keyCol: String, numShards: Int,
-                   blocksPerShard: Int, cuckooBucketsPerShard: Int): ShardedFilters =
-    buildFiltersCounted(keys, keyCol, numShards, blocksPerShard, cuckooBucketsPerShard)._1
+  /** Absorb `delta` into `base` shard-by-shard — distributed (P-row shuffle
+    * of blobs only), replacing the round-1 driver-side merge loop. */
+  def mergeFilterTables(base: FilterTable, delta: FilterTable): FilterTable = {
+    require(base.numShards == delta.numShards, "shard count mismatch")
+    val df = base.df.unionByName(delta.df)
+      .groupBy("shard")
+      .agg(
+        FilterExprs.bloom_merge_agg(col("bloom")).as("bloom"),
+        FilterExprs.cuckoo_merge_agg(col("cuckoo")).as("cuckoo"),
+        sum(col("n")).as("n"))
+    FilterTable(df, base.numShards)
+  }
 
   /**
    * candidates \ seen (the NOT-EXISTS of SURVEY §2.4): filter-accelerated
    * left_anti join. Definite-misses (filter says "never seen") bypass the
-   * join; only maybe-seen rows shuffle against the exact table.
+   * join; only maybe-seen rows shuffle against the exact table. A left join
+   * keeps candidates whose shard has no filter row (null blob probes the
+   * empty filter -> definite miss).
    */
   def notSeen(candidates: DataFrame, keyCol: String,
-              filters: Option[MembershipFilter], exactSeen: DataFrame): DataFrame = {
+              filters: Option[FilterTable], exactSeen: DataFrame): DataFrame = {
     filters match {
       case None => candidates.join(exactSeen, Seq(keyCol), "left_anti")
-      case Some(f) =>
-        val maybe = FilterExprs.might_contain(f, keyHash(col(keyCol)))
-        candidates.filter(!maybe)
-          .unionByName(candidates.filter(maybe).join(exactSeen, Seq(keyCol), "left_anti"))
+      case Some(ft) =>
+        val h = keyHash(col(keyCol))
+        val probed = candidates
+          .withColumn("__h", h)
+          .withColumn("__shard", pmod(col("__h"), lit(ft.numShards.toLong)).cast("int"))
+          .join(ft.df.select(col("shard").as("__shard"), col("bloom").as("__bloom")),
+            Seq("__shard"), "left")
+          .withColumn("__maybe",
+            FilterExprs.might_contain_blob(col("__shard"), col("__bloom"), col("__h")))
+        val aux = Seq("__h", "__shard", "__bloom", "__maybe")
+        probed.filter(!col("__maybe")).drop(aux: _*)
+          .unionByName(
+            probed.filter(col("__maybe")).drop(aux: _*)
+              .join(exactSeen, Seq(keyCol), "left_anti"))
     }
   }
 }

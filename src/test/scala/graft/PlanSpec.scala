@@ -39,10 +39,10 @@ class PlanSpec extends SparkSpec {
       "expected >=2 broadcast joins:\n" + plan.take(1500))
   }
 
-  test("q15: the seen-set prefilter probes the bloom filter before any join") {
+  test("q15: the seen-set prefilter probes the shard filter blob before any join") {
     val df = SparkEntry.queries("q15_seen_antijoin")(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("might_contain_filter"), plan.take(1200))
+    assert(plan.contains("might_contain_blob"), plan.take(1200))
   }
 
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
