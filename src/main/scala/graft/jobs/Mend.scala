@@ -96,12 +96,106 @@ object Mend {
     true
   }
 
-  /** Mend one plain WARC file in place. */
+  /** Strict one-record skip over a decompressed stream (gzip mend path). */
+  private def skipOneStream(in: java.io.InputStream): Boolean = {
+    def readLine(): String = {
+      val sb = new java.lang.StringBuilder(96)
+      var prev = -1
+      var c = in.read()
+      if (c == -1) return null
+      while (c != -1) {
+        if (prev == '\r' && c == '\n') { sb.setLength(sb.length - 1); return sb.toString }
+        sb.append(c.toChar); prev = c; c = in.read()
+      }
+      throw new EOFException("EOF mid-line")
+    }
+    var line = readLine()
+    while (line != null && line.isEmpty) line = readLine()
+    if (line == null) return false
+    if (!line.startsWith("WARC/")) throw new IllegalStateException(s"bad version: '$line'")
+    var contentLength = -1L
+    var h = readLine()
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      if (i <= 0) throw new IllegalStateException(s"bad header line: '$h'")
+      if (h.substring(0, i).equalsIgnoreCase("content-length"))
+        contentLength = h.substring(i + 1).trim.toLong
+      h = readLine()
+    }
+    if (contentLength < 0) throw new IllegalStateException("missing Content-Length")
+    var left = contentLength
+    val buf = new Array[Byte](1 << 16)
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (r < 0) throw new EOFException(s"EOF in content, $left left")
+      left -= r
+    }
+    val t = Array(in.read(), in.read(), in.read(), in.read())
+    if (t.contains(-1)) throw new EOFException("EOF in trailer")
+    if (!(t(0) == '\r' && t(1) == '\n' && t(2) == '\r' && t(3) == '\n'))
+      throw new IllegalStateException("missing \\r\\n\\r\\n trailer")
+    true
+  }
+
+  /**
+   * Mend a `.warc.gz[.open]` in place: scan decompressed records while the
+   * member stream tracks exact compressed coordinates (CRC/ISIZE-verified per
+   * member); the last valid cut is the last compressed member boundary that
+   * coincides with a record boundary — the reference's lastValidEndPos over
+   * gzip (mend.go:298-375 with the read.go:319-341 member bookkeeping).
+   */
+  private def mendGzipFile(pathStr: String): MendResult = {
+    val path = Paths.get(pathStr)
+    val size = Files.size(path)
+    var records = 0L
+    var lastValidEnd = 0L
+    var err: String = null
+    val gz = new graft.sources.GzipMemberInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(path), 1 << 16))
+    try {
+      try {
+        while (skipOneStream(gz)) {
+          records += 1
+          if (gz.atMemberBoundary) lastValidEnd = gz.lastMemberEndOffset
+        }
+      } catch { case e: Exception => err = e.getMessage }
+    } finally gz.close()
+    val truncated = size - lastValidEnd
+    if (err != null && lastValidEnd > 0 && truncated > 0) {
+      val raf = new RandomAccessFile(path.toFile, "rw")
+      try raf.setLength(lastValidEnd) finally raf.close()
+    }
+    val renamed =
+      if (pathStr.endsWith(".open") && (err == null || lastValidEnd > 0)) {
+        Files.move(path, path.resolveSibling(path.getFileName.toString.stripSuffix(".open")))
+        true
+      } else false
+    // keep any sidecar member index consistent with the (possibly truncated,
+    // possibly renamed) data file — a stale index would mis-split later scans
+    val finalData =
+      if (renamed) path.resolveSibling(path.getFileName.toString.stripSuffix(".open")) else path
+    for (idx <- Seq(Paths.get(pathStr + ".idx"),
+                    Paths.get(pathStr.stripSuffix(".open") + ".idx")).filter(Files.exists(_))) {
+      if (err != null && lastValidEnd == 0) Files.delete(idx)
+      else {
+        val in = Files.newInputStream(idx)
+        val entries = try graft.sources.WarcIO.readMemberIndex(in) finally in.close()
+        val kept = entries.filter { case (o, s) => o + s <= lastValidEnd }
+        Files.delete(idx)
+        val out = Files.newOutputStream(Paths.get(finalData.toString + ".idx"))
+        try graft.sources.WarcIO.writeMemberIndex(out, kept) finally out.close()
+      }
+    }
+    MendResult(pathStr, records, lastValidEnd,
+      if (err != null) truncated else 0L, renamed, err)
+  }
+
+  /** Mend one WARC file in place (plain: exact byte offsets; gzip: exact
+    * member offsets via the member-tracking decompressor). */
   def mendFile(pathStr: String): MendResult = {
     val path = Paths.get(pathStr)
     if (pathStr.endsWith(".gz") || pathStr.endsWith(".gz.open"))
-      return MendResult(pathStr, -1, Files.size(path), 0, renamed = false,
-        "gzip mend needs the member index (reported only)")
+      return mendGzipFile(pathStr)
     val size = Files.size(path)
     val raf = new RandomAccessFile(path.toFile, "rw")
     var records = 0L

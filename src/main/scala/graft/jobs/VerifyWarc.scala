@@ -42,6 +42,11 @@ object VerifyWarc {
         sum(when(col("err_version"), 1).otherwise(0)).as("version_errors"),
         sum(when(col("err_headers"), 1).otherwise(0)).as("header_errors"),
         sum(when(col("err_block_digest"), 1).otherwise(0)).as("digest_errors"),
+        // sink invariant (write.go:156-186): a leading warcinfo record per
+        // file. Informational, not part of `valid` — foreign files without
+        // one are still spec-valid WARCs.
+        max(when(col("warc_type") === "warcinfo" && col("record_ordinal") === 0, 1)
+          .otherwise(0)).cast("boolean").as("has_warcinfo"),
         min(col("record_valid").cast("int")).cast("boolean").as("valid"))
   }
 }

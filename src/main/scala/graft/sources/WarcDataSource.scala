@@ -1,10 +1,13 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.io.InputStream
 import java.util
 
 import scala.collection.JavaConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -18,11 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * `spark.read.format("graft.sources.WarcDataSource")` — a DataSourceV2 scan
  * over WARC files (S1/S2 in SURVEY §2.1), replacing the reference's
- * single-threaded ReadRecord pull loop (/root/reference/read.go:205-344)
- * with one Spark input partition per file (a 100 TB crawl archive is many
- * ~1 GB files — the reference's own rotation default, utils.go:184-186 —
- * so file granularity IS the split granularity; finer member-level splits
- * would use the per-record gzip-member index the writer lays down).
+ * single-threaded ReadRecord pull loop (/root/reference/read.go:205-344).
+ *
+ * Split planning: paths resolve through the Hadoop FileSystem API (recursive
+ * listing — a 100 TB archive lives on object storage, not java.nio), and a
+ * `.warc.gz` that carries the sink's sidecar member index splits into
+ * MEMBER-RANGE partitions of ~`maxPartitionBytes` (default 128 MiB): each
+ * task seeks to an exact member offset and reads only its range. Files
+ * without an index scan as one partition each (still correct — gowarc's own
+ * rotation default of ~1 GB files, utils.go:184-186, keeps that parallel).
  *
  * Scan-level optimizations implemented natively:
  *  - column pruning (SupportsPushDownRequiredColumns): the ReadOpts
@@ -32,12 +39,15 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - filter pushdown (SupportsPushDownFilters) on warc_type / target_uri
  *    equality and IN — the ShouldSkipRecord filter (cmd/warc/utils/utils.go:43-57)
  *    evaluated record-side before row materialization
+ *  - per-record compressed member coordinates surface as `member_offset` /
+ *    `member_size` (read.go:319-341; -1 outside gzip framing)
  */
 class WarcDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = WarcTable.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new WarcTable(properties.get("path"))
+    new WarcTable(properties.get("path"),
+      Option(properties.get("maxPartitionBytes")).map(_.toLong).getOrElse(WarcScan.DefaultSplit))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -52,13 +62,16 @@ object WarcTable {
     StructField("payload_digest", StringType),
     StructField("concurrent_to", StringType),
     StructField("refers_to", StringType),
+    StructField("warcinfo_id", StringType),
     StructField("profile", StringType),
     StructField("truncated", StringType),
     StructField("version", StringType),
     StructField("headers", MapType(StringType, StringType)),
     StructField("content", BinaryType),
     StructField("source_file", StringType),
-    StructField("record_ordinal", LongType)))
+    StructField("record_ordinal", LongType),
+    StructField("member_offset", LongType),
+    StructField("member_size", LongType)))
 
   /** header key feeding each top-level promoted column (SURVEY §1.5). */
   val HeaderOf: Map[String, String] = Map(
@@ -66,19 +79,21 @@ object WarcTable {
     "target_uri" -> "warc-target-uri", "warc_date" -> "warc-date",
     "block_digest" -> "warc-block-digest", "payload_digest" -> "warc-payload-digest",
     "concurrent_to" -> "warc-concurrent-to", "refers_to" -> "warc-refers-to",
+    "warcinfo_id" -> "warc-warcinfo-id",
     "profile" -> "warc-profile", "truncated" -> "warc-truncated")
 }
 
-class WarcTable(path: String) extends Table with SupportsRead {
+class WarcTable(path: String, maxPartitionBytes: Long) extends Table with SupportsRead {
   override def name(): String = s"warc($path)"
   override def schema(): StructType = WarcTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(if (path != null) path else options.get("path"))
+    new WarcScanBuilder(if (path != null) path else options.get("path"),
+      options.getLong("maxPartitionBytes", maxPartitionBytes))
 }
 
-class WarcScanBuilder(path: String) extends ScanBuilder
+class WarcScanBuilder(path: String, maxPartitionBytes: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WarcTable.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -96,14 +111,16 @@ class WarcScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, pushed)
+  override def build(): Scan = new WarcScan(path, required, pushed, maxPartitionBytes)
 }
 
 object WarcScan {
   val FilterableCols: Set[String] = Set("warc_type", "target_uri", "record_id")
+  val DefaultSplit: Long = 128L * 1024 * 1024
 }
 
-class WarcScan(path: String, required: StructType, filters: Array[Filter])
+class WarcScan(path: String, required: StructType, filters: Array[Filter],
+               maxPartitionBytes: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -112,40 +129,108 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter])
       s"pushed=[${filters.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = Paths.get(path)
-    val files =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.map(_.toString)
-          .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz")).toSeq.sorted
-      else Seq(path)
-    files.map(f => WarcInputPartition(f): InputPartition).toArray
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[FileStatus] =
+      if (fs.getFileStatus(root).isDirectory) {
+        val it = fs.listFiles(root, true) // recursive: archives nest by date/host
+        val buf = scala.collection.mutable.Buffer[FileStatus]()
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          if (n.endsWith(".warc") || n.endsWith(".warc.gz")) buf += st
+        }
+        buf.sortBy(_.getPath.toString).toSeq
+      } else Seq(fs.getFileStatus(root))
+
+    files.flatMap { st =>
+      val f = st.getPath
+      val idxPath = new HPath(f.toString + ".idx")
+      val members: Option[Seq[(Long, Long)]] =
+        if (f.getName.endsWith(".warc.gz") && fs.exists(idxPath)) {
+          val in = fs.open(idxPath)
+          try Some(WarcIO.readMemberIndex(in)) finally in.close()
+        } else None
+      members match {
+        case Some(ms) if ms.nonEmpty =>
+          // pack consecutive members into ~maxPartitionBytes ranges; every
+          // range begins at an exact member offset (seekable split point)
+          val parts = scala.collection.mutable.Buffer[WarcInputPartition]()
+          var start = ms.head._1
+          var startOrdinal = 0L
+          var bytes = 0L
+          var count = 0L
+          ms.foreach { case (off, len) =>
+            if (bytes > 0 && bytes + len > maxPartitionBytes) {
+              parts += WarcInputPartition(f.toString, start, off - start, startOrdinal)
+              start = off; startOrdinal += count; bytes = 0L; count = 0L
+            }
+            bytes += len; count += 1
+          }
+          val last = ms.last
+          parts += WarcInputPartition(f.toString, start, last._1 + last._2 - start, startOrdinal)
+          parts.toSeq
+        case _ =>
+          Seq(WarcInputPartition(f.toString, 0L, st.getLen, 0L))
+      }
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, filters)
 }
 
-case class WarcInputPartition(file: String) extends InputPartition
+/** One scan task: a byte range of `file` beginning at a member boundary
+  * (whole file when start=0 and length=file size). */
+case class WarcInputPartition(file: String, start: Long, length: Long,
+                              startOrdinal: Long) extends InputPartition
 
 class WarcReaderFactory(required: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, required, filters)
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], required, filters)
 }
 
-class WarcPartitionReader(file: String, required: StructType, filters: Array[Filter])
+/** Reads at most `limit` bytes of `in` — a member-range window. */
+private[sources] final class BoundedInputStream(in: InputStream, limit: Long)
+    extends InputStream {
+  private var left = limit
+  override def read(): Int =
+    if (left <= 0) -1
+    else { val b = in.read(); if (b >= 0) left -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (left <= 0) return -1
+    val n = in.read(b, off, math.min(len, math.min(left, Int.MaxValue.toLong).toInt))
+    if (n > 0) left -= n
+    n
+  }
+  override def close(): Unit = in.close()
+}
+
+class WarcPartitionReader(part: WarcInputPartition, required: StructType, filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val stream = Files.newInputStream(Paths.get(file))
-  private val it = WarcIO.records(stream)
+  // executor-side open through the Hadoop FS of the file's scheme; seek to
+  // the partition's member-aligned start offset
+  private val hfile = new HPath(part.file)
+  private val fs = hfile.getFileSystem(new Configuration())
+  private val stream = {
+    val s = fs.open(hfile)
+    if (part.start > 0) s.seek(part.start)
+    s
+  }
+  private val it = WarcIO.records(new BoundedInputStream(stream, part.length), part.start)
   private var current: WarcIO.ParsedRecord = _
 
   private def fieldValue(rec: WarcIO.ParsedRecord, name: String): Any = name match {
     case "content_length" => rec.headers.get("content-length").map(_.toLong).orNull
     case "version" => UTF8String.fromString(rec.version)
     case "content" => rec.content
-    case "source_file" => UTF8String.fromString(file)
-    case "record_ordinal" => rec.offset
+    case "source_file" => UTF8String.fromString(part.file)
+    case "record_ordinal" => part.startOrdinal + rec.ordinal
+    case "member_offset" => rec.memberOffset
+    case "member_size" => rec.memberSize
     case "headers" =>
       ArrayBasedMapData(rec.headers,
         (k: Any) => UTF8String.fromString(k.asInstanceOf[String]),

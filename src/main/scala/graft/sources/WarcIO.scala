@@ -26,7 +26,9 @@ object WarcIO {
       version: String,
       headers: Map[String, String], // keys lowercased
       content: Array[Byte],
-      offset: Long) // record ordinal within the file (compressed offsets need member index)
+      ordinal: Long, // record ordinal within the scanned stream
+      memberOffset: Long, // compressed gzip-member offset (read.go:319-341); -1 when not gzip
+      memberSize: Long) // compressed gzip-member size; -1 when not gzip
 
   private val CRLF = "\r\n".getBytes(StandardCharsets.US_ASCII)
 
@@ -93,51 +95,94 @@ object WarcIO {
   /**
    * Pull-based record iterator (the ReadRecord loop, read.go:205-344).
    * Tolerates leading blank lines between records; enforces the two-CRLF
-   * trailer (read.go:309-317).
+   * trailer (read.go:309-317). For gzip input the records carry exact
+   * compressed member (offset, size) — valid whenever the record starts and
+   * ends on member boundaries (gowarc framing: one member per record); any
+   * other framing degrades gracefully to (-1, -1). `baseOffset` shifts the
+   * reported offsets when scanning a byte RANGE of a larger file (the
+   * member-index split path in WarcScan).
    */
-  def records(raw: InputStream): Iterator[ParsedRecord] = new Iterator[ParsedRecord] {
-    private val in = open(raw)
-    private var nextRec: ParsedRecord = _
-    private var ordinal = 0L
-    private var done = false
+  def records(raw: InputStream): Iterator[ParsedRecord] = records(raw, 0L)
 
-    private def advance(): Unit = {
-      if (done) return
-      var line = readLine(in)
-      while (line != null && line.isEmpty) line = readLine(in) // skip inter-record padding
-      if (line == null) { done = true; nextRec = null; return }
-      if (!line.startsWith("WARC/")) throw new IllegalStateException(s"bad version line: '$line'")
-      val version = line
-      val headers = mutable.LinkedHashMap[String, String]()
-      var h = readLine(in)
-      while (h != null && h.nonEmpty) {
-        val i = h.indexOf(':')
-        if (i > 0) headers(h.substring(0, i).toLowerCase) = h.substring(i + 1).trim // splitKeyValue, utils.go:18-24
-        h = readLine(in)
-      }
-      val len = headers.getOrElse("content-length",
-        throw new IllegalStateException("missing Content-Length")).toLong
-      val content = readFully(in, len)
-      // trailer: exactly \r\n\r\n (read.go:309-317)
-      val t = new Array[Byte](4)
-      var off = 0
-      while (off < 4) {
-        val r = in.read(t, off, 4 - off)
-        if (r < 0) throw new EOFException("unexpected EOF in record trailer")
-        off += r
-      }
-      if (!(t(0) == '\r' && t(1) == '\n' && t(2) == '\r' && t(3) == '\n'))
-        throw new IllegalStateException("record missing \\r\\n\\r\\n trailer")
-      nextRec = ParsedRecord(version, headers.toMap, content, ordinal)
-      ordinal += 1
-    }
-
-    advance()
-    override def hasNext: Boolean = nextRec != null
-    override def next(): ParsedRecord = {
-      val r = nextRec; advance(); r
-    }
+  def records(raw: InputStream, baseOffset: Long): Iterator[ParsedRecord] = {
+    val buf = new BufferedInputStream(raw, 1 << 16)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    if (b0 == 0x1f && b1 == 0x8b) {
+      val gz = new GzipMemberInputStream(buf)
+      recordIterator(gz, Some(gz), baseOffset)
+    } else recordIterator(open(buf), None, baseOffset)
   }
+
+  private def recordIterator(in: InputStream, gz: Option[GzipMemberInputStream],
+                             baseOffset: Long): Iterator[ParsedRecord] =
+    new Iterator[ParsedRecord] {
+      private var nextRec: ParsedRecord = _
+      private var ordinal = 0L
+      private var done = false
+
+      private def advance(): Unit = {
+        if (done) return
+        val startsAtBoundary = gz.exists(_.atMemberBoundary)
+        val memberStart = gz.map(_.nextByteOffset).getOrElse(-1L)
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in) // skip inter-record padding
+        if (line == null) { done = true; nextRec = null; return }
+        if (!line.startsWith("WARC/")) throw new IllegalStateException(s"bad version line: '$line'")
+        val version = line
+        val headers = mutable.LinkedHashMap[String, String]()
+        var h = readLine(in)
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) headers(h.substring(0, i).toLowerCase) = h.substring(i + 1).trim // splitKeyValue, utils.go:18-24
+          h = readLine(in)
+        }
+        val len = headers.getOrElse("content-length",
+          throw new IllegalStateException("missing Content-Length")).toLong
+        val content = readFully(in, len)
+        // trailer: exactly \r\n\r\n (read.go:309-317)
+        val t = new Array[Byte](4)
+        var off = 0
+        while (off < 4) {
+          val r = in.read(t, off, 4 - off)
+          if (r < 0) throw new EOFException("unexpected EOF in record trailer")
+          off += r
+        }
+        if (!(t(0) == '\r' && t(1) == '\n' && t(2) == '\r' && t(3) == '\n'))
+          throw new IllegalStateException("record missing \\r\\n\\r\\n trailer")
+        val (mo, ms) = gz match {
+          case Some(g) if startsAtBoundary && g.atMemberBoundary && g.lastMemberEndOffset > memberStart =>
+            (baseOffset + memberStart, g.lastMemberEndOffset - memberStart)
+          case _ => (-1L, -1L)
+        }
+        nextRec = ParsedRecord(version, headers.toMap, content, ordinal, mo, ms)
+        ordinal += 1
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): ParsedRecord = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** Sidecar member index: one `offset size` line per gzip member, written
+    * by WarcSink next to each rotated `.warc.gz` — what makes the archive
+    * splittable at member granularity without a planning-time scan (the
+    * reference validates exactly these coordinates against an external
+    * member finder, read_test.go:345-401). */
+  def writeMemberIndex(out: OutputStream, members: Seq[(Long, Long)]): Unit = {
+    val sb = new StringBuilder
+    members.foreach { case (o, s) => sb.append(o).append(' ').append(s).append('\n') }
+    out.write(sb.toString.getBytes(StandardCharsets.US_ASCII))
+  }
+
+  def readMemberIndex(in: InputStream): Seq[(Long, Long)] =
+    scala.io.Source.fromInputStream(in, "US-ASCII").getLines().filter(_.nonEmpty).map { l =>
+      val sp = l.indexOf(' ')
+      (l.substring(0, sp).toLong, l.substring(sp + 1).toLong)
+    }.toVector
 
   /** Serialize one record; canonical header order per RecordSerializer.
     * Content-Length is ALWAYS set from the measured content (the reference

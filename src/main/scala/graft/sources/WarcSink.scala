@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.BufferedOutputStream
+import java.io.{BufferedOutputStream, FilterOutputStream, OutputStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -17,16 +17,55 @@ import org.apache.spark.sql.{DataFrame, Row}
  *    isFileSizeExceeded, file.go:75-85)
  *  - `.open` suffix while writing, atomic rename on close
  *    (warc.go:189,244-248)
+ *  - a leading `warcinfo` record per output file (WriteInfoRecord,
+ *    write.go:156-186; default payload fields per utils.go:196-199) and
+ *    `WARC-Warcinfo-ID` stamped on every record of the file (warc.go:218-219)
  *  - filename `Prefix-Timestamp-Serial-Host.warc.gz` (file.go:14-63) with a
  *    DETERMINISTIC serial = partitionId * 100000 + rotation index (the
  *    reference's global CAS counter is replaced per SURVEY §7.6 — no shared
- *    mutable state across tasks)
- *  - gzip: one member per record (WarcIO.writeGzipMember)
+ *    mutable state across tasks); the warcinfo record id is likewise a
+ *    deterministic function of the filename, not a random UUID
+ *  - gzip: one member per record (WarcIO.writeGzipMember) plus a sidecar
+ *    `<file>.idx` of exact compressed member (offset, size) pairs — the
+ *    coordinates the reference's counting reader tracks (read.go:50-83,
+ *    319-341), laid down at write time so scans can split at member level
  *
  * Input schema: (version: string, headers: map<string,string>,
  * content: binary|string). Use [[toRecordColumns]] to shape arbitrary rows.
  */
 object WarcSink {
+
+  /** Byte counter above the buffer: exact logical offsets per member. */
+  private final class CountingOutputStream(out: OutputStream) extends FilterOutputStream(out) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+  }
+
+  /** Deterministic `<urn:uuid:...>` from a seed string (SURVEY §7.6: no
+    * random UUIDs anywhere — record-for-record reproducibility). */
+  private def urnUuidOf(seed: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes(StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    s"<urn:uuid:${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20, 32)}>"
+  }
+
+  /** warcinfo payload defaults (utils.go:196-199). */
+  def warcinfoFields(host: String): Seq[(String, String)] = Seq(
+    "hostname" -> host,
+    "format" -> "WARC file version 1.1",
+    "conformsTo" ->
+      "http://iipc.github.io/warc-specifications/specifications/warc-format/warc-1.1/")
+
+  private def isoDate(tsCompact: String): String = {
+    val t = tsCompact.padTo(14, '0')
+    s"${t.substring(0, 4)}-${t.substring(4, 6)}-${t.substring(6, 8)}T" +
+      s"${t.substring(8, 10)}:${t.substring(10, 12)}:${t.substring(12, 14)}Z"
+  }
 
   def write(df: DataFrame, dir: String, prefix: String = "GRAFT",
             tsCompact: String = "20231114221320000",
@@ -35,26 +74,57 @@ object WarcSink {
     Files.createDirectories(Paths.get(dir))
     val ext = if (gzip) "warc.gz" else "warc"
     df.toDF().foreachPartition { (rows: Iterator[Row]) =>
-      var pid = org.apache.spark.TaskContext.getPartitionId()
+      val pid = org.apache.spark.TaskContext.getPartitionId()
       var fileIdx = 0
       var written = 0
-      var out: BufferedOutputStream = null
+      var counting: CountingOutputStream = null
       var openPath: java.nio.file.Path = null
       var finalPath: java.nio.file.Path = null
+      var warcinfoId: String = null
+      val members = scala.collection.mutable.Buffer[(Long, Long)]()
+
+      def writeOne(version: String, headers: Seq[(String, String)], content: Array[Byte]): Unit = {
+        val start = counting.count
+        if (gzip) WarcIO.writeGzipMember(counting)(g => WarcIO.writeRecord(g, version, headers, content))
+        else WarcIO.writeRecord(counting, version, headers, content)
+        if (gzip) members += ((start, counting.count - start))
+      }
+
+      def closeFile(): Unit = if (counting != null) {
+        counting.close()
+        if (gzip) {
+          val idx = Files.newOutputStream(Paths.get(finalPath.toString + ".idx"))
+          try WarcIO.writeMemberIndex(idx, members.toSeq) finally idx.close()
+        }
+        Files.move(openPath, finalPath, StandardCopyOption.ATOMIC_MOVE)
+        members.clear()
+      }
 
       def rollover(): Unit = {
-        if (out != null) { out.close(); Files.move(openPath, finalPath, StandardCopyOption.ATOMIC_MOVE) }
+        closeFile()
         val serial = pid * 100000 + fileIdx
         val name = f"$prefix-$tsCompact-$serial%09d-$host.$ext"
         finalPath = Paths.get(dir, name)
         openPath = Paths.get(dir, name + ".open")
-        out = new BufferedOutputStream(Files.newOutputStream(openPath), 1 << 16)
+        counting = new CountingOutputStream(
+          new BufferedOutputStream(Files.newOutputStream(openPath), 1 << 16))
         fileIdx += 1
         written = 0
+        // leading warcinfo record (write.go:156-186); its id stamps every
+        // subsequent record in this file as WARC-Warcinfo-ID (warc.go:218-219)
+        warcinfoId = urnUuidOf(s"warcinfo:$name")
+        val payload = warcinfoFields(host)
+          .map { case (k, v) => s"$k: $v\r\n" }.mkString.getBytes(StandardCharsets.UTF_8)
+        writeOne("WARC/1.1", Seq(
+          "WARC-Date" -> isoDate(tsCompact),
+          "WARC-Filename" -> name,
+          "WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> warcinfoId,
+          "Content-Type" -> "application/warc-fields"), payload)
       }
 
       rows.foreach { row =>
-        if (out == null || written >= maxRecordsPerFile) rollover()
+        if (counting == null || written >= maxRecordsPerFile) rollover()
         val version = row.getAs[String]("version")
         val headers = row.getAs[Map[String, String]]("headers").toSeq
         val content = row.get(row.fieldIndex("content")) match {
@@ -62,11 +132,13 @@ object WarcSink {
           case s: String => s.getBytes(StandardCharsets.UTF_8)
           case null => Array.emptyByteArray
         }
-        if (gzip) WarcIO.writeGzipMember(out)(g => WarcIO.writeRecord(g, version, headers, content))
-        else WarcIO.writeRecord(out, version, headers, content)
+        val stamped =
+          if (headers.exists(_._1.equalsIgnoreCase("WARC-Warcinfo-ID"))) headers
+          else headers :+ ("WARC-Warcinfo-ID" -> warcinfoId)
+        writeOne(version, stamped, content)
         written += 1
       }
-      if (out != null) { out.close(); Files.move(openPath, finalPath, StandardCopyOption.ATOMIC_MOVE) }
+      closeFile()
       ()
     }
   }

@@ -32,11 +32,12 @@ class ExtractVerifySpec extends SparkSpec {
     writeSample(good, corruptDigest = false)
     writeSample(bad, corruptDigest = true)
     val g = VerifyWarc.run(spark, good).head()
-    assert(g.getAs[Long]("record_count") === 20)
+    assert(g.getAs[Long]("record_count") === 21) // 20 + leading warcinfo
     assert(g.getAs[Long]("digest_errors") === 0)
+    assert(g.getAs[Boolean]("has_warcinfo")) // sink emits one per file
     assert(g.getAs[Boolean]("valid"))
     val b = VerifyWarc.run(spark, bad).head()
-    assert(b.getAs[Long]("digest_errors") === 20)
+    assert(b.getAs[Long]("digest_errors") === 20) // warcinfo digest is correct
     assert(!b.getAs[Boolean]("valid"))
   }
 

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.jobs.Mend
 import graft.sources.WarcSink
 
-/** A4 mend semantics: truncate-at-last-valid + .open rename (mend.go:298-375). */
+/** A4 mend semantics: truncate-at-last-valid + .open rename (mend.go:298-375),
+  * plain files by byte offset, gzip files by exact compressed member offset. */
 class MendSpec extends SparkSpec {
 
-  private def writePlain(dir: String, n: Int): Unit = {
+  private def writeFile(dir: String, n: Int, gzip: Boolean): Unit = {
     import spark.implicits._
     val rows = spark.range(n).select(
       lit("WARC/1.1").as("version"),
@@ -18,48 +19,98 @@ class MendSpec extends SparkSpec {
         lit("WARC-Type"), lit("response"),
         lit("WARC-Date"), lit("2023-11-14T22:13:20Z")).as("headers"),
       concat(lit("payload-"), col("id").cast("string")).cast("string").as("content"))
-    WarcSink.write(rows.coalesce(1), dir, gzip = false)
+    WarcSink.write(rows.coalesce(1), dir, gzip = gzip)
   }
 
   test("clean file is untouched; truncated tail is cut at last valid record") {
     val dir = Files.createTempDirectory("mend").toString
-    writePlain(dir, 10)
+    writeFile(dir, 10, gzip = false)
     val f = new java.io.File(dir).list().find(_.endsWith(".warc")).get
     val p = Paths.get(dir, f)
     val cleanSize = Files.size(p)
 
     val clean = Mend.mendFile(p.toString)
-    assert(clean.validRecords === 10 && clean.truncatedBytes === 0 && clean.error == null)
+    // 10 records + the leading warcinfo
+    assert(clean.validRecords === 11 && clean.truncatedBytes === 0 && clean.error == null)
     assert(Files.size(p) === cleanSize)
 
     // append a partial record (version line + half a header) = crash artifact
     Files.write(p, "WARC/1.1\r\nWARC-Type: resp".getBytes, StandardOpenOption.APPEND)
     val mended = Mend.mendFile(p.toString)
-    assert(mended.validRecords === 10)
+    assert(mended.validRecords === 11)
     assert(mended.truncatedBytes > 0)
     assert(Files.size(p) === cleanSize) // cut exactly back to the valid prefix
     // file scans cleanly again
     val back = spark.read.format("graft.sources.WarcDataSource").load(dir)
-    assert(back.count() === 10)
+    assert(back.count() === 11)
   }
 
   test(".open files are renamed after mending (warc.go:189,244-248 analog)") {
     val dir = Files.createTempDirectory("mendopen").toString
-    writePlain(dir, 3)
+    writeFile(dir, 3, gzip = false)
     val f = new java.io.File(dir).list().find(_.endsWith(".warc")).get
     val p = Paths.get(dir, f)
     val open = Paths.get(dir, f + ".open")
     Files.move(p, open)
     Files.write(open, "GARBAGE".getBytes, StandardOpenOption.APPEND)
     val r = Mend.mendFile(open.toString)
-    assert(r.renamed && r.validRecords === 3 && r.truncatedBytes === 7)
+    assert(r.renamed && r.validRecords === 4 && r.truncatedBytes === 7)
     assert(Files.exists(p) && !Files.exists(open))
   }
 
-  test("mendAll distributes across files and reports gzip as index-needed") {
+  test("wholly-corrupt .open file is left untouched for manual recovery") {
+    val dir = Files.createTempDirectory("mendcorrupt").toString
+    val open = Paths.get(dir, "BAD-0-x.warc.open")
+    Files.write(open, "NOT A WARC AT ALL".getBytes)
+    val r = Mend.mendFile(open.toString)
+    // the mend.go needsTruncate = lastValidEndPos > 0 guard: no truncation to
+    // zero bytes, no rename that would mark the file complete
+    assert(!r.renamed && r.validRecords === 0 && r.error != null)
+    assert(Files.exists(open) && Files.size(open) === 17)
+  }
+
+  test("gzip mend truncates at the last valid member; survivors scan cleanly") {
+    val dir = Files.createTempDirectory("mendgz").toString
+    writeFile(dir, 8, gzip = true)
+    val f = new java.io.File(dir).list().find(_.endsWith(".warc.gz")).get
+    val p = Paths.get(dir, f)
+    val open = Paths.get(dir, f + ".open")
+    val bytes = Files.readAllBytes(p)
+    // read the sink's sidecar to find a mid-member chop point: keep the first
+    // 6 members plus HALF of the 7th
+    val idxIn = Files.newInputStream(Paths.get(p.toString + ".idx"))
+    val members = try graft.sources.WarcIO.readMemberIndex(idxIn) finally idxIn.close()
+    assert(members.length === 9) // warcinfo + 8 records
+    val keepMembers = 6
+    val validEnd = members(keepMembers - 1)._1 + members(keepMembers - 1)._2
+    val chop = validEnd + members(keepMembers)._2 / 2
+    Files.delete(p)
+    Files.write(open, bytes.take(chop.toInt)) // sidecar left in place, now stale
+
+    val r = Mend.mendFile(open.toString)
+    assert(r.error != null, "chopped member must register as an error")
+    assert(r.validRecords === keepMembers)
+    assert(r.keptBytes === validEnd) // exact compressed member boundary
+    assert(r.truncatedBytes === chop - validEnd)
+    assert(r.renamed && Files.exists(p) && !Files.exists(open))
+    assert(Files.size(p) === validEnd)
+    // the sidecar was refreshed to the surviving members only
+    val idxIn2 = Files.newInputStream(Paths.get(p.toString + ".idx"))
+    val refreshed = try graft.sources.WarcIO.readMemberIndex(idxIn2) finally idxIn2.close()
+    assert(refreshed === members.take(keepMembers))
+    // the mended file reads end-to-end: warcinfo + 5 surviving records
+    val back = spark.read.format("graft.sources.WarcDataSource").load(p.toString)
+    assert(back.count() === keepMembers)
+    assert(back.filter(col("warc_type") === "response").count() === keepMembers - 1)
+  }
+
+  test("mendAll distributes across files (plain and gzip)") {
     val dir = Files.createTempDirectory("mendall").toString
-    writePlain(dir, 4)
+    writeFile(dir, 4, gzip = false)
+    writeFile(dir, 4, gzip = true)
     val rows = Mend.mendAll(spark, dir).collect()
-    assert(rows.length === 1 && rows.head.getAs[Long]("validRecords") === 4)
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Long]("validRecords") === 5)) // 4 + warcinfo
+    assert(rows.forall(_.getAs[String]("error") == null))
   }
 }

@@ -66,8 +66,15 @@ class SnapshotSpec extends SparkSpec with GenHelpers {
       assert(recs.length === n)
       recs.zipWithIndex.foreach { case (r, i) =>
         assert(new String(r.content) === s"content-$i")
-        assert(r.offset === i)
+        assert(r.ordinal === i)
       }
+      // member coordinates: contiguous, exact, 1 member per record
+      assert(recs.head.memberOffset === 0L)
+      recs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.memberOffset + a.memberSize === b.memberOffset)
+        case _ =>
+      }
+      assert(recs.last.memberOffset + recs.last.memberSize === bos.toByteArray.length)
     }
   }
 }

@@ -28,24 +28,73 @@ class WarcSourceSpec extends SparkSpec {
   test("gzip round-trip: sink then scan reproduces records (per-record members)") {
     val dir = Files.createTempDirectory("warcsrc").toString
     WarcSink.write(sampleRows(100).repartition(4), dir, maxRecordsPerFile = 10)
-    val back = spark.read.format(Fmt).load(dir)
-    assert(back.count() === 100)
+    val back = spark.read.format(Fmt).load(dir).cache()
+    val nFiles = new java.io.File(dir).list().count(_.endsWith(".warc.gz"))
+    // one warcinfo record leads every output file (write.go:156-186)
+    assert(back.filter(col("warc_type") =!= "warcinfo").count() === 100)
+    assert(back.filter(col("warc_type") === "warcinfo").count() === nFiles)
+    assert(back.filter(col("warc_type") === "warcinfo")
+      .filter(col("record_ordinal") =!= 0).count() === 0)
+    // every non-warcinfo record is stamped with its file's warcinfo id
+    // (warc.go:218-219)
+    assert(back.filter(col("warc_type") =!= "warcinfo")
+      .filter(col("warcinfo_id").isNull).count() === 0)
     // no .open files remain after commit
     assert(!new java.io.File(dir).list().exists(_.endsWith(".open")))
-    // rotation: 4 partitions x 25 rows / 10 per file => at least 8 files
-    assert(new java.io.File(dir).list().count(_.endsWith(".warc.gz")) >= 8)
+    // rotation: 4 partitions x 25 rows / (10+1 warcinfo) per file => >= 8 files
+    assert(nFiles >= 8)
     val row = back.filter(col("record_id") === "<urn:uuid:r7>")
       .select("warc_type", "target_uri", "content").head()
     assert(row.getString(0) === "response")
     assert(row.getString(1) === "http://h2.example/p7")
     assert(new String(row.getAs[Array[Byte]](2), "UTF-8") === "payload-7")
+    back.unpersist()
+  }
+
+  test("member coordinates: reader-side tracking equals writer-side sidecar index") {
+    val dir = Files.createTempDirectory("warcidx").toString
+    WarcSink.write(sampleRows(30).coalesce(1), dir, maxRecordsPerFile = 100)
+    val files = new java.io.File(dir).list().filter(_.endsWith(".warc.gz")).sorted
+    assert(files.length === 1)
+    val warc = s"$dir/${files.head}"
+    // two independent computations of the member layout (the reference's
+    // external-oracle pattern, read_test.go:345-401): the sink counted bytes
+    // while WRITING; the scan re-derives coordinates while INFLATING
+    val idxIn = Files.newInputStream(java.nio.file.Paths.get(warc + ".idx"))
+    val sidecar = try graft.sources.WarcIO.readMemberIndex(idxIn) finally idxIn.close()
+    assert(sidecar.length === 31) // 30 records + 1 warcinfo
+    val readBack = spark.read.format(Fmt).load(warc)
+      .select("member_offset", "member_size").orderBy("member_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(readBack === sidecar)
+    assert(sidecar.head._1 === 0L)
+    sidecar.sliding(2).foreach {
+      case Seq(a, b) => assert(a._1 + a._2 === b._1) // contiguous, no gaps
+      case _ =>
+    }
+    assert(sidecar.last._1 + sidecar.last._2 === new java.io.File(warc).length())
+  }
+
+  test("member index splits the scan into member-aligned range partitions") {
+    val dir = Files.createTempDirectory("warcsplit").toString
+    WarcSink.write(sampleRows(200).coalesce(1), dir, maxRecordsPerFile = 1000)
+    // tiny split target => many range partitions over one file
+    val back = spark.read.format(Fmt).option("maxPartitionBytes", "2048").load(dir)
+    assert(back.rdd.getNumPartitions > 4, s"got ${back.rdd.getNumPartitions} partitions")
+    assert(back.filter(col("warc_type") =!= "warcinfo").count() === 200)
+    // global ordinals survive the split and stay unique
+    assert(back.select("record_ordinal").distinct().count() === back.count())
+    // whole-file scan (no option) returns the identical record set
+    val whole = spark.read.format(Fmt).load(dir)
+    assert(whole.select("record_id").except(back.select("record_id")).count() === 0)
+    assert(back.select("record_id").except(whole.select("record_id")).count() === 0)
   }
 
   test("plain (uncompressed) .warc scan works and headers map is case-insensitive-keyed") {
     val dir = Files.createTempDirectory("warcplain").toString
     WarcSink.write(sampleRows(10).coalesce(1), dir, gzip = false)
     val back = spark.read.format(Fmt).load(dir)
-    assert(back.count() === 10)
+    assert(back.count() === 11) // 10 records + the file's warcinfo
     val h = back.select("headers").head().getAs[Map[String, String]](0)
     assert(h.contains("warc-type")) // lowercased keys (header.go:12-38 semantics)
   }
@@ -69,7 +118,7 @@ class WarcSourceSpec extends SparkSpec {
     val q = spark.read.format(Fmt).load(dir).select("record_id", "warc_type")
     val scanDesc = q.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scanDesc.contains("columns=record_id,warc_type"), s"scan was:\n$scanDesc")
-    assert(q.count() === 5)
+    assert(q.count() === 6) // 5 records + the file's warcinfo
   }
 
   test("crawl warc_rows ship through toRecordColumns and round-trip") {
@@ -84,7 +133,7 @@ class WarcSourceSpec extends SparkSpec {
     val dir = Files.createTempDirectory("warccrawl").toString
     WarcSink.write(WarcSink.toRecordColumns(rows, "content"), dir)
     val back = spark.read.format(Fmt).load(dir)
-    assert(back.count() === rows.count())
+    assert(back.filter(col("warc_type") =!= "warcinfo").count() === rows.count())
     // revisit rows carry profile + truncated headers; responses do not
     val rev = back.filter(col("warc_type") === "revisit")
     if (rev.count() > 0) {
