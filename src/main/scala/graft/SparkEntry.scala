@@ -491,6 +491,34 @@ object SparkEntry {
         .orderBy("score")
     }),
 
+    "q46_truncation_guard" -> ((s, dir) => {
+      // oversize-response cut (client.go:190-194): keep the first `cap`
+      // bytes, flag WARC-Truncated: length — same expressions Fetch applies
+      val cap = 500
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) > cap).as("truncated"),
+          when(length(col("text")) > cap, lit("length"))
+            .otherwise(lit("")).as("warc_truncated"), // null-free for the hash compare
+          length(substring(col("text"), 1, cap)).cast("long").as("kept_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q47_disposition_filename" -> ((s, dir) => {
+      // Content-Disposition filename override (extract.go:121-146)
+      val d = t(s, dir, "documents")
+        .withColumn("cd",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("attachment; filename=\"quoted-"), col("doc_id").cast("string"), lit(".pdf\"")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("inline; filename=bare-"), col("doc_id").cast("string"), lit(".bin; size=3")))
+            .otherwise(lit(null).cast("string")))
+      d.select(col("doc_id"),
+        graft.jobs.Extract.dispositionFilename(col("cd"),
+          concat(lit("fallback-"), col("doc_id").cast("string"), lit(".html"))).as("filename"))
+        .orderBy("doc_id")
+    }),
+
     "q45_digest_blake3" -> ((s, dir) => {
       // X4 full algo parity: BLAKE3 in gowarc's prefixed format (digest.go:73-76);
       // spec-implemented, golden-tested — no DuckDB blake3, so rows-only check
@@ -773,6 +801,20 @@ object SparkEntry {
         |            WHEN doc_id % 4 = 1 THEN 'text/html; charset=utf-8'
         |            ELSE 'text/plain' END AS content_type, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_truncation_guard" ->
+      """SELECT doc_id,
+        |       (length(text) > 500) AS truncated,
+        |       CASE WHEN length(text) > 500 THEN 'length' ELSE '' END AS warc_truncated,
+        |       CAST(least(length(text), 500) AS BIGINT) AS kept_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q47_disposition_filename" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'quoted-' || doc_id || '.pdf'
+        |            WHEN doc_id % 3 = 1 THEN 'bare-' || doc_id || '.bin'
+        |            ELSE 'fallback-' || doc_id || '.html' END AS filename
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q44_sanitize_names" ->
       """WITH r AS (

@@ -38,7 +38,11 @@ object Fetch {
       round: Int,
       roundEpoch: Long, // capture_time = this, never now()
       dedupSizeThreshold: Long = 2048,
-      requestUserAgent: String = "graft/0.1")
+      requestUserAgent: String = "graft/0.1",
+      // oversize-response guard (client.go:190-194, MaxReadBeforeTruncate
+      // default 1 GB): payloads are cut at this many bytes and the response
+      // row carries WARC-Truncated: length
+      maxReadBeforeTruncate: Int = 1 << 30)
 
   val RevisitProfile = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 
@@ -62,16 +66,27 @@ object Fetch {
       col("url_key").as("page_url_key"), col("doc_id"), col("spans"))
     val joined = scheduled.join(p, scheduled("url_key") === p("page_url_key"), "left")
     val payload = SyntheticWeb.payloadExpr(col("spans"))
-    val headers = SyntheticWeb.headersExpr(payload)
     joined
       .withColumn("status", when(col("doc_id").isNull, lit(404)).otherwise(lit(200)))
-      .withColumn("payload", when(col("doc_id").isNull, lit("")).otherwise(payload))
+      .withColumn("__payload_raw", when(col("doc_id").isNull, lit("")).otherwise(payload))
+      // oversize guard (client.go:190-194): keep the first cap bytes; the
+      // digest is computed over the KEPT bytes (the reference digests what it
+      // spooled) and the row is flagged for WARC-Truncated: length
+      .withColumn("payload_truncated",
+        length(col("__payload_raw")) > cfg.maxReadBeforeTruncate)
+      .withColumn("payload", when(col("payload_truncated"),
+        substring(col("__payload_raw"), 1, cfg.maxReadBeforeTruncate))
+        .otherwise(col("__payload_raw")))
+      // HTTP headers reflect what the server DECLARED (the full length) even
+      // when the body is cut — the reference records the wire headers as
+      // received and truncates only the payload bytes
       .withColumn("http_headers", when(col("doc_id").isNull,
-        lit("HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n")).otherwise(headers))
+        lit("HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n"))
+        .otherwise(SyntheticWeb.headersExpr(col("__payload_raw"))))
       .withColumn("content", concat(col("http_headers"), col("payload")))
       .withColumn("payload_digest", warc_sha1_b32(col("payload")))
       .withColumn("payload_size", length(col("payload")).cast("long"))
-      .drop("page_url_key")
+      .drop("page_url_key", "__payload_raw")
   }
 
   /**
@@ -188,7 +203,8 @@ object Fetch {
       reqId.as("concurrent_to"),
       col("refers_to"), col("refers_to_target_uri"), col("refers_to_date"),
       when(col("is_revisit"), lit(RevisitProfile)).otherwise(lit(null).cast("string")).as("profile"),
-      when(col("is_revisit"), lit("length")).otherwise(lit(null).cast("string")).as("truncated"),
+      when(col("is_revisit") || col("payload_truncated"), lit("length"))
+        .otherwise(lit(null).cast("string")).as("truncated"),
       when(col("is_revisit"), array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
         .otherwise(col("spans")).as("spans"),
       lit(0).as("seq"), // response precedes request (dialer.go:558-560)

@@ -29,6 +29,7 @@ object Crawl {
       maxPerRound: Long = Long.MaxValue,
       numSlots: Int = 32,
       dedupSizeThreshold: Long = 64, // synthetic payloads are small; ref default 2048
+      maxReadBeforeTruncate: Int = 1 << 30, // client.go:190-194 default 1 GB
       numShards: Int = 16,
       bloomBlocksPerShard: Int = 256, // 256 blocks * 512 bits ~ 16 KiB/shard locally
       cuckooBucketsPerShard: Int = 1 << 14,
@@ -102,7 +103,8 @@ object Crawl {
     var continue = true
 
     while (continue && round < cfg.maxRounds) {
-      val fcfg = Fetch.Config(round, cfg.baseEpoch + round, cfg.dedupSizeThreshold)
+      val fcfg = Fetch.Config(round, cfg.baseEpoch + round, cfg.dedupSizeThreshold,
+        maxReadBeforeTruncate = cfg.maxReadBeforeTruncate)
 
       val scheduledPlan = Scheduler.schedule(spark, frontier, seenKeys,
         if (cfg.useBloomPrefilter) filters else None,

@@ -33,6 +33,20 @@ object Extract {
       .otherwise(concat(substring(clean, 1, maxLen).substr(lit(1), stemBudget), ext))
   }
 
+  /**
+   * X8: Content-Disposition filename override (extract.go:121-146): when the
+   * response carries `filename="..."` (or a bare token) in its
+   * Content-Disposition header, that name wins over the URL-derived fallback.
+   */
+  def dispositionFilename(contentDisposition: Column, fallback: Column): Column = {
+    val cd = coalesce(contentDisposition, lit(""))
+    val quoted = regexp_extract(cd, "(?i)filename\\s*=\\s*\"([^\"]+)\"", 1)
+    val bare = regexp_extract(cd, "(?i)filename\\s*=\\s*([^;\\s\"]+)", 1)
+    when(length(quoted) > 0, quoted)
+      .when(length(bare) > 0, bare)
+      .otherwise(fallback)
+  }
+
   /** X10: KiB/MiB/GiB formatting (mend.go:479-490) — reporting only. */
   def humanBytes(bytes: Column): Column =
     when(bytes < 1024, concat(bytes.cast("string"), lit(" B")))
@@ -67,18 +81,19 @@ object Extract {
     val root = Paths.get(outDir).toAbsolutePath.normalize
     Files.createDirectories(root)
     val rootStr = root.toString
-    val written = named.toDF().rdd.mapPartitions { rows =>
-      var n = 0L
+    // side-effecting sink: foreachPartition + a tracked accumulator (shows in
+    // the Spark UI / event log, unlike an ad-hoc rdd sum job)
+    val written = named.sparkSession.sparkContext.longAccumulator("extract_files_written")
+    named.toDF().foreachPartition { rows: Iterator[Row] =>
       val rootP = Paths.get(rootStr)
       rows.foreach { r: Row =>
         val target = rootP.resolve(r.getString(0)).resolve(r.getString(1)).normalize()
         require(target.startsWith(rootP), s"path traversal blocked: $target") // extract.go:130-137
         Files.createDirectories(target.getParent)
         Files.write(target, r.getString(2).getBytes(StandardCharsets.UTF_8))
-        n += 1
+        written.add(1L)
       }
-      Iterator(n)
-    }.sum().toLong
-    written
+    }
+    written.value
   }
 }

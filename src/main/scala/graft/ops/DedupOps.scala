@@ -83,20 +83,36 @@ object DedupOps {
    * MinHash-LSH near-duplicate pairs. Returns (id_a, id_b, jaccard) with
    * id_a < id_b, verified against `threshold` on the true shingle-set
    * Jaccard. bandsCount * rowsPerBand must equal numHashes.
+   *
+   * Worst-case bound (exact-dup pre-pass): m identical documents share every
+   * band, so the naive band self-join goes quadratic in m ACROSS ALL BANDS
+   * (bands x m^2 candidate rows for one cluster). Identical normalized texts
+   * therefore collapse to one REPRESENTATIVE before signatures are computed;
+   * verified rep pairs expand back to member pairs afterwards (identical
+   * texts have identical shingle sets, so every cross pair shares the reps'
+   * exact jaccard, and intra-cluster pairs are exactly 1.0). Output is
+   * unchanged pair-for-pair; the work is bounded by output size instead of
+   * bands x cluster^2.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 5, numHashes: Int = 32,
                       bandsCount: Int = 8, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bandsCount == 0, "bands must divide hashes")
     val rowsPerBand = numHashes / bandsCount
+    val k = shingleSize
+    val prep = df.select(col(idCol).as("id"),
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("norm"))
+
+    // exact-dup clusters: sorted member ids per distinct normalized text
+    val groups = prep.groupBy(col("norm"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val reps = groups.select(element_at(col("ids"), 1).as("id"), col("norm"))
+
     // stage norm -> shingles -> sig as ATTRIBUTES (separate projections):
     // inlining them into the downstream higher-order lambdas re-evaluates
     // the expensive parent expression per lambda element (Catalyst keeps the
     // split because the exprs are non-cheap and multiply referenced)
-    val k = shingleSize
-    val prep = df.select(col(idCol).as("id"),
-      regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("norm"))
-    val withShingles = prep.select(col("id"),
+    val withShingles = reps.select(col("id"),
       when(length(col("norm")) < k, array(col("norm")))
         .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
           i => col("norm").substr(i + 1, lit(k)))).as("shingles"))
@@ -131,10 +147,29 @@ object DedupOps {
     val inter = graft.functions.ArraySetOps
       .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+    val repPairs = candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("jaccard", when(union === 0, lit(1.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+    // expand rep pairs to member pairs; singleton clusters pass through 1:1
+    val mem = groups.select(element_at(col("ids"), 1).as("rep"), explode(col("ids")).as("mid"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("id_a"), col("mid").as("m_a")), Seq("id_a"))
+      .join(mem.select(col("rep").as("id_b"), col("mid").as("m_b")), Seq("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    // intra-cluster pairs: exact duplicates, jaccard 1.0 by definition —
+    // generated directly (array pair expansion within the cluster row),
+    // never through banding; a 1k-identical-doc cluster costs its 499.5k
+    // OUTPUT pairs once, not 8x10^6 band-join rows + verification
+    val intra = groups.filter(size(col("ids")) > 1).select(
+      explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** SimHash near-duplicate pairs: banded candidates, Hamming-verified.

@@ -140,6 +140,28 @@ class CrawlSpec extends SparkSpec {
     assert(sa.sameElements(sb), "seen set diverged after resume")
   }
 
+  test("oversize responses are cut at the cap and flagged WARC-Truncated: length") {
+    val (pages, seeds, robots, dopp, cdx) = world(spark)
+    val cap = 100
+    val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx),
+      cfg(1).copy(maxReadBeforeTruncate = cap))
+    val resp = res.warcRows.filter(col("warc_type") === "response").cache()
+    // synthetic payloads exceed 100 chars regularly: the cap must fire
+    val truncated = resp.filter(col("truncated") === "length")
+    assert(truncated.count() > 0, "no response hit the truncation cap")
+    assert(resp.filter(col("payload_size") > cap).count() === 0,
+      "a stored payload exceeds the cap")
+    // non-truncated responses carry no flag
+    assert(resp.filter(col("payload_size") < cap && col("truncated").isNotNull).count() === 0)
+    // revisit semantics survive: the digest of the KEPT bytes still dedups —
+    // identical originals truncate identically
+    val uncapped = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(1))
+    assert(res.warcRows.filter(col("seq") === 0).count() ===
+      uncapped.warcRows.filter(col("seq") === 0).count(),
+      "truncation changed the fetch count")
+    resp.unpersist()
+  }
+
   test("partial (uncommitted) manifest is ignored on resume") {
     val (pages, seeds, robots, dopp, cdx) = world(spark)
     val dir = Files.createTempDirectory("graft-snap2").toString

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** MinHash-LSH worst-case bound (VERDICT r1 #10): a cluster of identical
+  * documents must not go quadratic inside one band bucket — the exact-dup
+  * pre-pass collapses it to one representative and emits the cluster's
+  * pairs directly. */
+class DedupOpsSpec extends SparkSpec {
+
+  test("identical-document cluster: pairs exact, work bounded by output") {
+    import spark.implicits._
+    val m = 300 // 300 identical docs -> 44_850 intra pairs
+    val identical = spark.range(m)
+      .select(col("id").as("doc_id"), lit("the same exact document body repeated").as("text"))
+    val distinctDocs = spark.range(m, m + 40).select(col("id").as("doc_id"),
+      concat(lit("unique text body number "), col("id").cast("string"),
+        lit(" with its own words")).as("text"))
+    val df = identical.unionByName(distinctDocs)
+
+    val pairs = DedupOps.minhashLshPairs(df, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bandsCount = 8, threshold = 0.4).cache()
+    val intra = pairs.filter(col("id_a") < m && col("id_b") < m)
+    assert(intra.count() === m.toLong * (m - 1) / 2)
+    assert(intra.filter(col("jaccard") =!= 1.0).count() === 0)
+    // no self pairs, orientation always id_a < id_b
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
+    pairs.unpersist()
+  }
+
+  test("rep expansion preserves pair-for-pair output on a mixed corpus") {
+    import spark.implicits._
+    // two duplicate clusters + near-dup texts: every cross pair of two
+    // clusters must carry the reps' jaccard
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base), // cluster A
+      (3L, near), (4L, near), // cluster B
+      (5L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bandsCount = 8, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val intraA = pairs.filter(p => p._1 < 3 && p._2 < 3)
+    assert(intraA.length === 3 && intraA.forall(_._3 == 1.0))
+    val intraB = pairs.filter(p => p._1 >= 3 && p._1 < 5 && p._2 >= 3 && p._2 < 5)
+    assert(intraB.length === 1 && intraB.forall(_._3 == 1.0))
+    // cross pairs A x B all share one jaccard value (same underlying texts)
+    val cross = pairs.filter(p => p._1 < 3 && p._2 >= 3 && p._2 < 5)
+    if (cross.nonEmpty) {
+      assert(cross.length === 6, s"expected all 3x2 cross pairs, got ${cross.length}")
+      assert(cross.map(_._3).distinct.length === 1)
+    }
+  }
+}
