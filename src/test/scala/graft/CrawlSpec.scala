@@ -162,6 +162,46 @@ class CrawlSpec extends SparkSpec {
     resp.unpersist()
   }
 
+  test("hot-digest fixture: 404s and duplicate payloads take the de-skewed path") {
+    import spark.implicits._
+    // 30% of scheduled URLs miss the page table (-> status 404, empty payload,
+    // ALL sharing one digest) and the remaining 70% share only 10 payloads
+    // (50%+ duplicates): exactly the hot-key mix that used to drag every row
+    // into one digest-window partition
+    val pages = spark.range(20).select(
+      concat(lit("http://h.example/p"), col("id").cast("string")).as("url_key"),
+      format_string("d%03d", col("id")).as("doc_id"),
+      array(struct(lit("text").as("kind"),
+        concat(lit("body-"), (col("id") % 5).cast("string"),
+          lit(" abcdefghijklmnopqrstuvwxyz0123456789 abcdefghijklmnopqrstuvwxyz")).as("text"),
+        lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
+    val scheduled = spark.range(100).select(
+      concat(lit("http://h.example/p"), col("id").cast("string")).as("url_key"),
+      concat(lit("http://h.example/p"), col("id").cast("string")).as("url"),
+      lit("h.example").as("host"),
+      lit(1).as("priority"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("discovery_time"),
+      lit(0).as("depth"), lit("seed").as("via"))
+    val fcfg = graft.fetch.Fetch.Config(0, 1700000000L, dedupSizeThreshold = 32)
+    val fetched = graft.fetch.Fetch.fetch(scheduled, pages, fcfg)
+    assert(fetched.filter(col("status") === 404).count() === 80)
+    val emptyDigestSeen = spark.range(0).select(
+      lit("").as("payload_digest"), lit("").as("record_id"),
+      lit("").as("target_uri"), lit(null).cast("timestamp").as("warc_date"))
+    val warc = graft.fetch.Fetch.buildWarcRows(fetched, emptyDigestSeen,
+      None, None, fcfg).cache()
+    val resp0 = warc.filter(col("seq") === 0)
+    assert(resp0.count() === 100)
+    // 404s never dedup (the empty-payload digest is in the guard set): all 80
+    // come back through the ineligible union branch as plain responses
+    assert(resp0.filter(col("status") === 404 && col("warc_type") =!= "response").count() === 0)
+    // 20 live pages share 5 payloads: earliest-wins keeps 5 responses, the
+    // other 15 become intra-round local revisits
+    assert(resp0.filter(col("status") === 200 && col("warc_type") === "response").count() === 5)
+    assert(resp0.filter(col("dedupe_source") === "local").count() === 15)
+    warc.unpersist()
+  }
+
   test("partial (uncommitted) manifest is ignored on resume") {
     val (pages, seeds, robots, dopp, cdx) = world(spark)
     val dir = Files.createTempDirectory("graft-snap2").toString
