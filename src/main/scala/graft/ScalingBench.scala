@@ -133,6 +133,9 @@ object ScalingBench {
       (nLo, nHi, thr(i), thr(i + 1), (thr(i + 1) / thr(i)) / ratio)
     }
 
+    // NOTE: table rows are concatenated OUTSIDE stripMargin — interpolating
+    // "|"-prefixed rows into a stripMargin template eats the pipes (the
+    // round-1 BENCH/BASELINE.md tables rendered broken for exactly this)
     val rows = results.map { case (n, u, t) =>
       f"| local[$n] | $t%.1f | ${u / t}%.0f |"
     }.mkString("\n")
@@ -140,7 +143,7 @@ object ScalingBench {
       f"| local[$lo] -> local[$hi] | ${tHi / tLo}%.2f x (of ${hi / lo}x cores) | **$eff%.3f** |"
     }.mkString("\n")
 
-    val md =
+    val header =
       f"""# BENCH — two-cluster-size scaling evidence
          |
          |Metric (BASELINE.json): frontier throughput = URLs scheduled+deduped/sec,
@@ -153,15 +156,9 @@ object ScalingBench {
          |Workload: $nPages-page synthetic web, $nSeeds seeds, $rounds rounds,
          |per-host budget uncapped; $urls URLs scheduled+deduped; noop sink forces
          |full materialization of warc_rows (payload digests + revisit construction).
-         |
-         || Level | wall (s) | throughput (URLs/s) |
-         || --- | --- | --- |
-         |$rows
-         |
-         || N -> 4N pair | speedup | scaling efficiency |
-         || --- | --- | --- |
-         |$pairRows
-         |
+         |""".stripMargin
+    val footer =
+      f"""
          |Hardware note: this box exposes 32 logical CPUs but raw CPU scaling
          |(measured with an embarrassingly-parallel hash loop, no Spark) tops out at
          |~0.8 efficiency from 8 -> 32 threads (SMT/shared-host ceiling); the
@@ -178,6 +175,10 @@ object ScalingBench {
          |are shard-local; per-host budget caps hot-host rounds; AQE skew-join splits
          |the fetch join.
          |""".stripMargin
+    val md = header +
+      "\n| Level | wall (s) | throughput (URLs/s) |\n| --- | --- | --- |\n" + rows +
+      "\n\n| N -> 4N pair | speedup | scaling efficiency |\n| --- | --- | --- |\n" + pairRows +
+      "\n" + footer
 
     val dir = new java.io.File("BENCH"); dir.mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)

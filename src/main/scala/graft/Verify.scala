@@ -37,6 +37,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // SELF-CHECK (round-1 lesson: a stale dump at the wrong scale factor
+    // zeroed the whole correctness gate). Assert the dump really derives
+    // from THIS sf dir — a full-table query's row count must equal the
+    // documents table's — and record the provenance next to the dump.
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val dumpRows = spark.read.parquet(s"$outDir/q19_text_stats.parquet").count()
+    val ok = docRows == dumpRows
+    Files.writeString(Paths.get(s"$outDir/dump_meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "documents_rows": $docRows, """ +
+        s""""q19_rows": $dumpRows, "scale_check": ${if (ok) "\"pass\"" else "\"FAIL\""}}""")
+    if (!ok) {
+      System.err.println(s"[verify] SCALE MISMATCH: documents=$docRows q19=$dumpRows")
+      spark.stop()
+      sys.exit(2)
+    }
+    println(s"[verify] dump complete: $outDir matches $sfDir (documents=$docRows)")
     spark.stop()
   }
 }

@@ -1,5 +1,8 @@
 package graft.jobs
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,6 +26,13 @@ import graft.snapshot.SnapshotStore
  */
 object Crawl {
 
+  /** Dedicated pool for concurrent Spark job submission (round-internal
+    * overlap). Small and daemonized: it only ever blocks on Spark actions. */
+  private lazy val jobEc: ExecutionContext = ExecutionContext.fromExecutorService(
+    java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-crawl-jobs"); t.setDaemon(true); t
+    }))
+
   case class Config(
       maxRounds: Int = 3,
       perHostBudget: Int = 100,
@@ -33,6 +43,15 @@ object Crawl {
       numShards: Int = 16,
       bloomBlocksPerShard: Int = 256, // 256 blocks * 512 bits ~ 16 KiB/shard locally
       cuckooBucketsPerShard: Int = 1 << 14,
+      // build the (8x-heavier, never-probed-by-scheduling) cuckoo shards too;
+      // on only when bounded/deletable dedup-cache semantics are wanted
+      buildCuckoo: Boolean = false,
+      // submit independent per-round jobs concurrently. Off by default: with
+      // executor-sized heaps the overlapped materializations contend for the
+      // unified memory pool (measured: +10% wall at 8 pinned cores / 8g heap);
+      // worth enabling on real clusters where storage memory is plentiful and
+      // driver job-submission latency dominates
+      concurrentJobs: Boolean = false,
       baseEpoch: Long = 1700000000L,
       useBloomPrefilter: Boolean = true,
       // per-round counter collection (A1 analog). Costs two extra driver
@@ -112,16 +131,33 @@ object Crawl {
       val scheduled =
         if (cfg.checkpointState) scheduledPlan.localCheckpoint() else scheduledPlan.cache()
       lap(s"r$round schedule+checkpoint")
-      // build the round's shard filters distributed (one aggregation; only P
-      // blobs shuffle, none reach the driver) and materialize them; the
-      // round's count is then a P-row sum over the materialized table — the
-      // driver sees ONE long, not the blobs.
-      val newFiltersPlan = SeenSetOps.buildFilterTable(
-        scheduled.select(col("url_key")), "url_key", cfg.numShards,
-        cfg.bloomBlocksPerShard, cfg.cuckooBucketsPerShard)
-      val newFilters = FilterTable(
-        if (cfg.checkpointState) newFiltersPlan.df.localCheckpoint()
-        else newFiltersPlan.df.cache(), cfg.numShards)
+      // With cfg.concurrentJobs, independent per-round jobs are SUBMITTED
+      // CONCURRENTLY (Spark's scheduler interleaves their stages), hiding
+      // per-job planning + scheduling latency — the driver-serial fraction
+      // that caps N->4N efficiency on real clusters. Default is sequential:
+      // see the Config scaladoc (overlapped materializations contend for
+      // storage memory on executor-sized heaps).
+      implicit val ec: ExecutionContext = Crawl.jobEc
+      // shard-filter build: one aggregation, only P blobs shuffle, none
+      // reach the driver; the round count is then a P-row sum over the
+      // materialized table (the driver sees ONE long, not the blobs)
+      def buildFilters(): DataFrame = {
+        val plan = SeenSetOps.buildFilterTable(
+          scheduled.select(col("url_key")), "url_key", cfg.numShards,
+          cfg.bloomBlocksPerShard, cfg.cuckooBucketsPerShard,
+          includeCuckoo = cfg.buildCuckoo)
+        if (cfg.checkpointState) plan.df.localCheckpoint() else plan.df.cache()
+      }
+      def doFetch(): DataFrame = {
+        val plan = Fetch.fetch(scheduled, pages, fcfg)
+        if (cfg.checkpointState) plan.localCheckpoint() else plan.cache()
+      }
+      // concurrent mode starts the fetch join (depends only on `scheduled`)
+      // alongside the filter build; an empty final round then wastes one
+      // cheap empty-join materialization
+      val fetchedF: Option[Future[DataFrame]] =
+        if (cfg.concurrentJobs) Some(Future(doFetch())) else None
+      val newFilters = FilterTable(buildFilters(), cfg.numShards)
       val nScheduled = newFilters.df.agg(sum(col("n"))).collect()(0) match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
@@ -129,11 +165,11 @@ object Crawl {
       lap(s"r$round filters+count")
 
       if (nScheduled == 0) {
+        fetchedF.foreach(f => Await.result(f, Duration.Inf).unpersist(blocking = false))
         scheduled.unpersist()
         continue = false
       } else {
-        val fetchedPlan = Fetch.fetch(scheduled, pages, fcfg)
-        val fetched = if (cfg.checkpointState) fetchedPlan.localCheckpoint() else fetchedPlan.cache()
+        val fetched = fetchedF.map(Await.result(_, Duration.Inf)).getOrElse(doFetch())
         lap(s"r$round fetch+checkpoint")
         val warcPlan = Fetch.buildWarcRows(fetched, digestSeen, dopp, cdx, fcfg)
           .withColumn("round", lit(round))
@@ -165,12 +201,24 @@ object Crawl {
           col("payload_digest"), col("record_id"), col("target_uri"), col("warc_date"), col("size")))
         frontier = links
         if (cfg.checkpointState && store.isEmpty) {
-          seenKeys = seenKeys.localCheckpoint()
-          digestSeen = digestSeen.localCheckpoint()
-          frontier = frontier.localCheckpoint()
-          // merged filter table: P small rows; checkpoint truncates the
-          // union-groupBy lineage chain across rounds
-          filters = filters.map(f => FilterTable(f.df.localCheckpoint(), f.numShards))
+          // four independent state materializations (the merged filter
+          // checkpoint also truncates the union-groupBy lineage chain across
+          // rounds); concurrent mode overlaps their job latencies
+          if (cfg.concurrentJobs) {
+            val fSeen = Future(seenKeys.localCheckpoint())
+            val fDigest = Future(digestSeen.localCheckpoint())
+            val fFrontier = Future(frontier.localCheckpoint())
+            val fFilters = Future(filters.map(f => FilterTable(f.df.localCheckpoint(), f.numShards)))
+            seenKeys = Await.result(fSeen, Duration.Inf)
+            digestSeen = Await.result(fDigest, Duration.Inf)
+            frontier = Await.result(fFrontier, Duration.Inf)
+            filters = Await.result(fFilters, Duration.Inf)
+          } else {
+            seenKeys = seenKeys.localCheckpoint()
+            digestSeen = digestSeen.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+            filters = filters.map(f => FilterTable(f.df.localCheckpoint(), f.numShards))
+          }
           // scheduled/fetched are fully consumed once the round's state is
           // checkpointed (warc stays: the final output union reads it)
           scheduled.unpersist(blocking = false)

@@ -212,7 +212,16 @@ object DedupOps {
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 100): DataFrame = {
     val grams = df.select(col(idCol).as("id"), array_distinct(TextOps.wordNgrams(col(textCol), n)).as("grams"))
-    val exploded = grams.select(col("id"), explode(col("grams")).as("g"))
+    // candidate generation runs entirely over 64-bit gram HASHES: the
+    // df-count groupBy and the candidate self-join shuffle 8-byte keys
+    // instead of gram strings (a word-bigram averages ~15 bytes + UTF8
+    // overhead; the exploded table is by far the largest shuffle of this
+    // op). A 64-bit collision can only merge two grams' df counts or emit a
+    // spurious candidate — which exact verification then scores truthfully —
+    // at ~1e-19 per gram pair, the same negligible-collision argument the
+    // hashed verification below already rests on.
+    val exploded = grams.select(col("id"), explode(col("grams")).as("g0"))
+      .select(col("id"), xxhash64(col("g0")).as("g"))
     val rare = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
       .select("g")

@@ -41,16 +41,31 @@ object SeenSetOps {
    * map-side; only P filter blobs cross the shuffle). The per-shard key
    * count `n` rides along so callers get the round's total without a second
    * scan of the keys.
+   *
+   * Partial-buffer sizing: every map partition allocates (and serializes)
+   * one fixed-size buffer PER SHARD IT TOUCHES, so the shuffled bytes are
+   * ~mapPartitions x numShards x bufferSize regardless of key count. The key
+   * scan therefore coalesces to ~core-count partitions first (hashing is
+   * trivially cheap; the buffers are not), and the cuckoo filter — 8x the
+   * bloom's bytes and probed by nothing in the scheduling path — is built
+   * only when `includeCuckoo` (the bounded/deletable dedup-cache semantics;
+   * the column stays in the schema as null so tables merge either way).
    */
   def buildFilterTable(keys: DataFrame, keyCol: String, numShards: Int,
-                       blocksPerShard: Int, cuckooBucketsPerShard: Int): FilterTable = {
+                       blocksPerShard: Int, cuckooBucketsPerShard: Int,
+                       includeCuckoo: Boolean = true): FilterTable = {
     val h = keyHash(col(keyCol))
+    val buildParallelism = math.max(1, keys.sparkSession.sparkContext.defaultParallelism)
+    val cuckooAgg =
+      if (includeCuckoo) FilterExprs.cuckoo_agg(col("h"), cuckooBucketsPerShard)
+      else first(lit(null).cast(org.apache.spark.sql.types.BinaryType), ignoreNulls = false)
     val df = keys
+      .coalesce(buildParallelism)
       .select(h.as("h"), pmod(h, lit(numShards.toLong)).cast("int").as("shard"))
       .groupBy("shard")
       .agg(
         FilterExprs.bloom_agg(col("h"), blocksPerShard).as("bloom"),
-        FilterExprs.cuckoo_agg(col("h"), cuckooBucketsPerShard).as("cuckoo"),
+        cuckooAgg.as("cuckoo"),
         count(lit(1)).as("n"))
     FilterTable(df, numShards)
   }
