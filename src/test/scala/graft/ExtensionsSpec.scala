@@ -1,0 +1,45 @@
+package graft
+
+/** SparkSessionExtensions SQL surface: the custom expressions callable from
+  * plain SQL with the same golden values as the Scala API (SURVEY §7.4). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("url_canonicalize and warc digests are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  url_canonicalize('HTTP://HOST1.EXAMPLE:80/a/../%705#frag') AS u,
+        |  warc_sha1_b32('hello world') AS d1,
+        |  warc_digest('hello world', 'sha1') AS d2,
+        |  warc_digest('', 'blake3') AS d3,
+        |  sorted_intersect_count(array(1L, 3L, 5L, 9L), array(3L, 4L, 5L)) AS n
+        |""".stripMargin).head()
+    assert(r.getString(0) === "http://host1.example/p5")
+    // golden value from the reference's digest_test.go:11
+    assert(r.getString(1) === "sha1:FKXGYNOJJ7H3IFO35FPUBC445EPOQRXN")
+    assert(r.getString(2) === r.getString(1))
+    // empty-payload blake3 matches the dedup guard list (dialer.go:84-89)
+    assert(graft.functions.WarcDigest.EmptyDigests.contains(r.getString(3)))
+    assert(r.getInt(4) === 2)
+  }
+
+  test("warc_digest rejects a non-literal algo (plan-time constant, like the reference enum)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT warc_digest('x', lower('SHA1'))").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.toLowerCase.contains("constant"),
+      e.getMessage)
+  }
+
+  test("SQL expressions codegen identically to the Scala API over a table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq("a b", "HTTP://X.Y:80/p", "").toDF("s").createOrReplaceTempView("t_ext")
+    val viaSql = spark.sql(
+      "SELECT warc_sha1_b32(s) AS d, url_canonicalize(s) AS u FROM t_ext ORDER BY s").collect()
+    val viaApi = spark.table("t_ext")
+      .select(graft.functions.WarcDigest.warc_sha1_b32(col("s")).as("d"),
+        graft.functions.UrlCanonicalize.url_canonicalize(col("s")).as("u"))
+      .orderBy("s").collect()
+    assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
+  }
+}

@@ -13,6 +13,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .withExtensions(new graft.GraftExtensions) // SQL-function surface under test
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
