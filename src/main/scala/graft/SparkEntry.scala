@@ -32,7 +32,8 @@ object SparkEntry {
       Some(SyntheticWeb.robots(spark)), Some(SyntheticWeb.doppelganger(spark, n)),
       Some(SyntheticWeb.cdx(spark, n)),
       graft.jobs.Crawl.Config(maxRounds = 1, perHostBudget = 50, numSlots = 8,
-        dedupSizeThreshold = 32, numShards = 4))
+        dedupSizeThreshold = 32, numShards = 4),
+      dns = Some(SyntheticWeb.dns(spark)))
     res.warcRows
   }
 
@@ -470,7 +471,8 @@ object SparkEntry {
         Some(SyntheticWeb.robots(s)), Some(SyntheticWeb.doppelganger(s, n)),
         Some(SyntheticWeb.cdx(s, n)),
         graft.jobs.Crawl.Config(maxRounds = 2, perHostBudget = 40, numSlots = 8,
-          dedupSizeThreshold = 32, numShards = 4))
+          dedupSizeThreshold = 32, numShards = 4),
+        dns = Some(SyntheticWeb.dns(s)))
         .warcRows
         .groupBy(col("round"), col("warc_type"), col("dedupe_source"))
         .agg(count(lit(1)).as("n"), sum(col("content_length")).as("bytes"))

@@ -61,10 +61,19 @@ object Fetch {
    * derive payload/content/digest columns. 404s (scheduled URLs with no
    * page) are kept with null doc columns and status 404.
    */
-  def fetch(scheduled: DataFrame, pages: DataFrame, cfg: Config): DataFrame = {
+  def fetch(scheduled: DataFrame, pages: DataFrame, cfg: Config,
+            dns: Option[DataFrame] = None): DataFrame = {
     val p = pages.select(
       col("url_key").as("page_url_key"), col("doc_id"), col("spans"))
-    val joined = scheduled.join(p, scheduled("url_key") === p("page_url_key"), "left")
+    var joined = scheduled.join(p, scheduled("url_key") === p("page_url_key"), "left")
+    // J5: the DNS cache as a broadcast dimension — the resolved address
+    // stamps WARC-IP-Address on both records of the pair (dialer.go:579-583)
+    joined = dns match {
+      case Some(d) => joined.join(
+        broadcast(d.select(col("host").as("__dns_host"), col("ipv4").as("ip"))),
+        joined("host") === col("__dns_host"), "left").drop("__dns_host")
+      case None => joined.withColumn("ip", lit(null).cast("string"))
+    }
     val payload = SyntheticWeb.payloadExpr(col("spans"))
     joined
       .withColumn("status", when(col("doc_id").isNull, lit(404)).otherwise(lit(200)))
@@ -208,7 +217,7 @@ object Fetch {
       when(col("is_revisit"), array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
         .otherwise(col("spans")).as("spans"),
       lit(0).as("seq"), // response precedes request (dialer.go:558-560)
-      col("host"), col("dedupe_source"), col("status"),
+      col("host"), col("ip"), col("dedupe_source"), col("status"),
       col("payload_size"), col("depth"), col("dup_rank"))
 
     val reqContent = concat(
@@ -232,7 +241,7 @@ object Fetch {
       lit(null).cast("string").as("truncated"),
       array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>").as("spans"),
       lit(1).as("seq"),
-      col("host"), lit("none").as("dedupe_source"), col("status"),
+      col("host"), col("ip"), lit("none").as("dedupe_source"), col("status"),
       lit(0L).as("payload_size"), col("depth"), lit(1).as("dup_rank"))
 
     respRows.unionByName(reqRows)

@@ -1,6 +1,6 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,29 +52,66 @@ object Scheduler {
         col("b.priority").as("priority"), col("b.discovery_time").as("discovery_time"),
         col("b.depth").as("depth"), col("b.via").as("via"))
 
+  /** SQL LIKE with a per-row (non-foldable) pattern column — robots rule
+    * patterns ride the broadcast rules array, so the pattern is a lambda
+    * variable, not a literal. */
+  private def likeMatch(str: Column, pattern: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Like(
+        org.apache.spark.sql.graft.Bridge.expression(str),
+        org.apache.spark.sql.graft.Bridge.expression(pattern), '\\'))
+
   /**
-   * RFC 9309 gate: a URL is fetchable unless the longest matching rule for
-   * its host is a disallow. Rules are tiny (per-host config) -> broadcast
-   * join; longest-match selection is a higher-order aggregate over the
-   * per-host rule array (no shuffle beyond the broadcast).
+   * RFC 9309 gate: a URL is fetchable unless the most specific matching rule
+   * for its host disallows it. Rules are tiny (per-host config) -> broadcast
+   * join; rule selection is a higher-order aggregate over the per-host rule
+   * array (no shuffle beyond the broadcast).
+   *
+   * Spec semantics implemented (RFC 9309 §2.2.1-§2.2.2, §5.2):
+   *  - patterns support `*` (any octet run) and a trailing `$` (end anchor),
+   *    translated ONCE per rule to a SQL LIKE pattern (escape `%_\`, `*`->`%`,
+   *    append `%` unless `$`-anchored) — plain prefixes behave exactly as
+   *    before
+   *  - the most specific rule wins = longest pattern in octets; on a tie the
+   *    ALLOW rule wins ("least restrictive")
+   *  - group selection: the host's rules for `userAgent` when any exist,
+   *    otherwise its `*` group; no rules at all -> allow
    */
-  def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
-    val rules = robots.groupBy("host").agg(
-      collect_list(struct(col("rule_type"), col("path_prefix"))).as("rules"))
+  def robotsFilter(frontier: DataFrame, robots: DataFrame,
+                   userAgent: String = "*"): DataFrame = {
+    val likePat = {
+      val esc = regexp_replace(col("path_prefix"), "([%_\\\\])", "\\\\$1")
+      val wild = regexp_replace(esc, "\\*", "%")
+      when(col("path_prefix").endsWith("$"), wild.substr(lit(1), length(wild) - 1))
+        .otherwise(concat(wild, lit("%")))
+    }
+    val rules = robots
+      .withColumn("ua", lower(coalesce(col("user_agent"), lit("*"))))
+      .withColumn("like_pat", likePat)
+      .withColumn("len", length(col("path_prefix")))
+      .groupBy("host")
+      .agg(collect_list(struct(col("ua"), col("like_pat"), col("len"), col("rule_type"))).as("rules"))
     val path = regexp_replace(col("url_key"), lit("^[a-z]+://[^/]+"), lit(""))
+    val uaLit = lit(userAgent.toLowerCase)
     frontier
       .join(broadcast(rules), Seq("host"), "left")
       .withColumn("__path", path)
-      // longest matching prefix wins; allow by default (RFC 9309 §2.2.2)
+      .withColumn("__mine", filter(col("rules"), r => r.getField("ua") === uaLit))
+      .withColumn("__group",
+        when(size(col("__mine")) > 0, col("__mine"))
+          .otherwise(filter(col("rules"), r => r.getField("ua") === "*")))
       .withColumn("__verdict", when(col("rules").isNull, lit("allow")).otherwise(
         aggregate(
-          filter(col("rules"), r => col("__path").startsWith(r.getField("path_prefix"))),
+          filter(col("__group"), r => likeMatch(col("__path"), r.getField("like_pat"))),
           struct(lit(-1).as("len"), lit("allow").as("t")),
-          (acc, r) => when(length(r.getField("path_prefix")) > acc.getField("len"),
-              struct(length(r.getField("path_prefix")).as("len"), r.getField("rule_type").as("t")))
+          (acc, r) => when(
+            r.getField("len") > acc.getField("len") ||
+              (r.getField("len") === acc.getField("len") &&
+                r.getField("rule_type") === "allow" && acc.getField("t") === "disallow"),
+            struct(r.getField("len").as("len"), r.getField("rule_type").as("t")))
             .otherwise(acc)).getField("t")))
       .filter(col("__verdict") === "allow")
-      .drop("rules", "__path", "__verdict")
+      .drop("rules", "__path", "__mine", "__group", "__verdict")
   }
 
   /**

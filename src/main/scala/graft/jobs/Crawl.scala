@@ -89,7 +89,8 @@ object Crawl {
           dopp: Option[DataFrame],
           cdx: Option[DataFrame],
           cfg: Config,
-          store: Option[SnapshotStore] = None): Result = {
+          store: Option[SnapshotStore] = None,
+          dns: Option[DataFrame] = None): Result = {
 
     // resume from the last committed snapshot when a store is present
     val resumed = store.flatMap(s => s.latest)
@@ -149,7 +150,7 @@ object Crawl {
         if (cfg.checkpointState) plan.df.localCheckpoint() else plan.df.cache()
       }
       def doFetch(): DataFrame = {
-        val plan = Fetch.fetch(scheduled, pages, fcfg)
+        val plan = Fetch.fetch(scheduled, pages, fcfg, dns)
         if (cfg.checkpointState) plan.localCheckpoint() else plan.cache()
       }
       // concurrent mode starts the fetch join (depends only on `scheduled`)

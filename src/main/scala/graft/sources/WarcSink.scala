@@ -167,6 +167,7 @@ object WarcSink {
           digests ++
           hdr("WARC-Concurrent-To", col("concurrent_to")) ++
           hdr("WARC-Refers-To", col("refers_to")) ++
+          (if (warcRows.columns.contains("ip")) hdr("WARC-IP-Address", col("ip")) else Seq.empty) ++
           hdr("WARC-Profile", col("profile")) ++
           hdr("WARC-Truncated", col("truncated")): _*),
         (_, v) => v.isNotNull).as("headers"),

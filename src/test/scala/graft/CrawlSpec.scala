@@ -67,6 +67,22 @@ class CrawlSpec extends SparkSpec {
     joined.unpersist(); warc.unpersist()
   }
 
+  test("WARC-IP-Address: both records of a pair carry the resolved address (J5)") {
+    val (pages, seeds, robots, dopp, cdx) = world(spark)
+    val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(1),
+      dns = Some(SyntheticWeb.dns(spark)))
+    val warc = res.warcRows.cache()
+    // dialer.go:579-583: the connection's remote IP stamps every record of
+    // the pair; the dns fixture covers every synthetic host
+    assert(warc.filter(col("ip").isNull).count() === 0)
+    val mismatched = warc.groupBy("pair_id")
+      .agg(countDistinct(col("ip")).as("n")).filter(col("n") =!= 1).count()
+    assert(mismatched === 0, "request and response of a pair disagree on ip")
+    // deterministic fixture value: host h -> 10.(h%256).0.1
+    assert(warc.filter(col("host") === "host1.example" && col("ip") =!= "10.1.0.1").count() === 0)
+    warc.unpersist()
+  }
+
   test("robots disallow is enforced (RFC 9309 longest-match)") {
     val (pages, seeds, robots, _, _) = world(spark)
     val res = Crawl.run(spark, pages, seeds, Some(robots), None, None, cfg(2))

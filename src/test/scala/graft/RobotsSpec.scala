@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.frontier.Scheduler
+
+/** RFC 9309 robots semantics (spec-derived goldens — the reference has no
+  * robots support, SURVEY §7.5.5): wildcard/$ patterns, longest-match with
+  * allow-wins ties (§2.2.2, §5.2 examples), user-agent group selection. */
+class RobotsSpec extends SparkSpec {
+
+  private def frontierOf(paths: String*): DataFrame = {
+    import spark.implicits._
+    paths.toSeq.toDF("p").select(
+      concat(lit("http://h.example"), col("p")).as("url_key"),
+      lit("h.example").as("host"))
+  }
+
+  private def rules(rows: (String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_agent", "rule_type", "path_prefix")
+      .withColumn("host", lit("h.example"))
+  }
+
+  private def allowed(frontier: DataFrame, robots: DataFrame, ua: String = "*"): Set[String] =
+    Scheduler.robotsFilter(frontier, robots, ua)
+      .select(regexp_replace(col("url_key"), "^http://h.example", "").as("p"))
+      .collect().map(_.getString(0)).toSet
+
+  test("wildcard * and end-anchor $ patterns (RFC 9309 §2.2.3)") {
+    val r = rules(("*", "disallow", "/*.php$"), ("*", "disallow", "/private*/"))
+    val f = frontierOf("/index.php", "/index.php?x=1", "/a/index.php",
+      "/private1/x", "/privateer")
+    // /*.php$ blocks only paths ENDING in .php; /private*/ needs the slash
+    assert(allowed(f, r) === Set("/index.php?x=1", "/privateer"))
+  }
+
+  test("longest match wins; allow beats disallow on equal length (§2.2.2, §5.2)") {
+    // the RFC's own example shape: allow /example/page/ vs disallow /example/
+    val r1 = rules(("*", "allow", "/example/page/"), ("*", "disallow", "/example/"))
+    val f1 = frontierOf("/example/page/x", "/example/other", "/else")
+    assert(allowed(f1, r1) === Set("/example/page/x", "/else"))
+    // equal-length tie: allow is the least restrictive rule
+    val r2 = rules(("*", "allow", "/page"), ("*", "disallow", "/page"))
+    assert(allowed(frontierOf("/page1"), r2) === Set("/page1"))
+  }
+
+  test("user-agent group selection: specific group replaces * entirely (§2.2.1)") {
+    val r = rules(
+      ("*", "disallow", "/"), // default group bans everything
+      ("graftbot", "disallow", "/private/")) // our group only bans /private/
+    val f = frontierOf("/open", "/private/x")
+    assert(allowed(f, r, ua = "graftbot") === Set("/open"))
+    assert(allowed(f, r, ua = "otherbot") === Set.empty) // falls back to *
+  }
+
+  test("no rules for a host, or no matching rule, means allow (§2.2.2)") {
+    val f = frontierOf("/anything")
+    assert(allowed(f, rules(("*", "disallow", "/blocked")), ua = "*") === Set("/anything"))
+    // a host absent from the robots table entirely
+    val other = frontierOf("/x").withColumn("host", lit("nothing.example"))
+    assert(Scheduler.robotsFilter(other, rules(("*", "disallow", "/"))).count() === 1)
+  }
+}
