@@ -44,11 +44,14 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 class WarcDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = WarcTable.Schema
+  // writes carry the DataFrame's own (version, headers, content) record
+  // shape rather than the 19-column read schema; reads always infer
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new WarcTable(properties.get("path"),
-      Option(properties.get("maxPartitionBytes")).map(_.toLong).getOrElse(WarcScan.DefaultSplit))
-  override def supportsExternalMetadata(): Boolean = false
+      Option(properties.get("maxPartitionBytes")).map(_.toLong).getOrElse(WarcScan.DefaultSplit),
+      Option(schema))
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object WarcTable {
@@ -83,14 +86,22 @@ object WarcTable {
     "profile" -> "warc-profile", "truncated" -> "warc-truncated")
 }
 
-class WarcTable(path: String, maxPartitionBytes: Long) extends Table with SupportsRead {
+class WarcTable(path: String, maxPartitionBytes: Long,
+                schemaOverride: Option[StructType] = None) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc($path)"
-  override def schema(): StructType = WarcTable.Schema
+  override def schema(): StructType = schemaOverride.getOrElse(WarcTable.Schema)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(if (path != null) path else options.get("path"),
       options.getLong("maxPartitionBytes", maxPartitionBytes))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcWriteBuilder(
+      if (path != null) path else info.options.get("path"), info)
 }
 
 class WarcScanBuilder(path: String, maxPartitionBytes: Long) extends ScanBuilder

@@ -35,24 +35,11 @@ import org.apache.spark.sql.{DataFrame, Row}
  */
 object WarcSink {
 
-  /** Byte counter above the buffer: exact logical offsets per member. */
-  private final class CountingOutputStream(out: OutputStream) extends FilterOutputStream(out) {
-    var count: Long = 0L
-    override def write(b: Int): Unit = { out.write(b); count += 1 }
-    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-      out.write(b, off, len); count += len
-    }
-  }
-
-  /** Deterministic `<urn:uuid:...>` from a seed string (SURVEY §7.6: no
-    * random UUIDs anywhere — record-for-record reproducibility). */
-  private def urnUuidOf(seed: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(seed.getBytes(StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString
-    s"<urn:uuid:${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
-      s"${hex.substring(16, 20)}-${hex.substring(20, 32)}>"
-  }
+  // deterministic warcinfo ids, ISO dates, and the counting stream are
+  // shared with the DSv2 write path (WarcDataWriter)
+  private def urnUuidOf(seed: String): String = WarcDataWriter.urnUuidOf(seed)
+  private def isoDate(tsCompact: String): String = WarcDataWriter.isoDate(tsCompact)
+  private type CountingOutputStream = WarcDataWriter.Counting
 
   /** warcinfo payload defaults (utils.go:196-199). */
   def warcinfoFields(host: String): Seq[(String, String)] = Seq(
@@ -60,12 +47,6 @@ object WarcSink {
     "format" -> "WARC file version 1.1",
     "conformsTo" ->
       "http://iipc.github.io/warc-specifications/specifications/warc-format/warc-1.1/")
-
-  private def isoDate(tsCompact: String): String = {
-    val t = tsCompact.padTo(14, '0')
-    s"${t.substring(0, 4)}-${t.substring(4, 6)}-${t.substring(6, 8)}T" +
-      s"${t.substring(8, 10)}:${t.substring(10, 12)}:${t.substring(12, 14)}Z"
-  }
 
   def write(df: DataFrame, dir: String, prefix: String = "GRAFT",
             tsCompact: String = "20231114221320000",

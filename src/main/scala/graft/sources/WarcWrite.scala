@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.io.BufferedOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{MapType, StringType, StructType}
+
+/**
+ * DataSourceV2 WARC write path:
+ * `df.write.format("graft.sources.WarcDataSource").save(dir)` over rows of
+ * (version string, headers map<string,string>, content string|binary) — the
+ * same record shape `WarcSink.toRecordColumns` produces.
+ *
+ * Commit protocol — gowarc's `.open` -> rename handoff (warc.go:189,244-248)
+ * lifted onto Spark's BatchWrite coordinator, which is strictly stronger
+ * than the per-task rename of the `foreachPartition` sink:
+ *  - every task writes `<final>.open.<taskId>` files (attempt-unique names,
+ *    so a speculative or retried attempt can never corrupt a sibling's file)
+ *    and reports (open, final) pairs in its WriterCommitMessage
+ *  - the driver's commit() renames ALL files of the winning attempts after
+ *    EVERY task succeeded — an all-or-nothing publish; abort() deletes the
+ *    partials of failed jobs
+ * Per-file content matches WarcSink exactly: leading warcinfo record with a
+ * deterministic id, WARC-Warcinfo-ID stamped on every record, one gzip
+ * member per record, sidecar `.idx` member index.
+ *
+ * Options: prefix, tsCompact, gzip (true), maxRecordsPerFile, host.
+ */
+class WarcWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
+    with SupportsTruncate {
+  // overwrite mode: accepted as a no-op marker — final names are
+  // deterministic, so re-publishing the same logical write replaces files
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new WarcWrite(path, info)
+}
+
+class WarcWrite(path: String, info: LogicalWriteInfo) extends Write {
+  override def toBatch: BatchWrite = {
+    val o = info.options
+    new WarcBatchWrite(
+      path,
+      info.schema(),
+      o.getOrDefault("prefix", "GRAFT"),
+      o.getOrDefault("tsCompact", "20231114221320000"),
+      o.getBoolean("gzip", true),
+      o.getInt("maxRecordsPerFile", 100000),
+      o.getOrDefault("host", "local"))
+  }
+}
+
+case class WarcFileCommit(openPath: String, finalPath: String)
+case class WarcCommitMessage(files: Seq[WarcFileCommit]) extends WriterCommitMessage
+
+class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact: String,
+                     gzip: Boolean, maxRecordsPerFile: Int, host: String)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new WarcWriterFactory(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host)
+
+  /** All-or-nothing publish: rename every attempt file after every task
+    * committed (driver side, after the write job succeeded). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case WarcCommitMessage(files) =>
+        files.foreach { f =>
+          Files.move(Paths.get(f.openPath), Paths.get(f.finalPath),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).foreach {
+      case WarcCommitMessage(files) =>
+        files.foreach(f => Files.deleteIfExists(Paths.get(f.openPath)))
+      case _ =>
+    }
+}
+
+class WarcWriterFactory(dir: String, schema: StructType, prefix: String, tsCompact: String,
+                        gzip: Boolean, maxRecordsPerFile: Int, host: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host,
+      partitionId, taskId)
+}
+
+class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact: String,
+                     gzip: Boolean, maxRecordsPerFile: Int, host: String,
+                     partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val versionIdx = schema.fieldIndex("version")
+  private val headersIdx = schema.fieldIndex("headers")
+  private val contentIdx = schema.fieldIndex("content")
+  private val contentIsString = schema.fields(contentIdx).dataType == StringType
+  require(schema.fields(headersIdx).dataType.isInstanceOf[MapType],
+    "headers column must be map<string,string>")
+
+  private val ext = if (gzip) "warc.gz" else "warc"
+  private var fileIdx = 0
+  private var written = 0
+  private var out: WarcDataWriter.Counting = _
+  private var openPath: java.nio.file.Path = _
+  private var finalPath: java.nio.file.Path = _
+  private var warcinfoId: String = _
+  private val members = scala.collection.mutable.Buffer[(Long, Long)]()
+  private val committed = scala.collection.mutable.Buffer[WarcFileCommit]()
+
+  // write through the Hadoop FS of the target scheme (mkdirs is idempotent)
+  new HPath(dir).getFileSystem(new Configuration()).mkdirs(new HPath(dir))
+
+  private def writeOne(version: String, headers: Seq[(String, String)], content: Array[Byte]): Unit = {
+    val start = out.count
+    if (gzip) WarcIO.writeGzipMember(out)(g => WarcIO.writeRecord(g, version, headers, content))
+    else WarcIO.writeRecord(out, version, headers, content)
+    if (gzip) members += ((start, out.count - start))
+  }
+
+  private def closeFile(): Unit = if (out != null) {
+    out.close()
+    if (gzip) {
+      val idxOpen = Paths.get(finalPath.toString + s".idx.open.$taskId")
+      val s = Files.newOutputStream(idxOpen)
+      try WarcIO.writeMemberIndex(s, members.toSeq) finally s.close()
+      committed += WarcFileCommit(idxOpen.toString, finalPath.toString + ".idx")
+      members.clear()
+    }
+    committed += WarcFileCommit(openPath.toString, finalPath.toString)
+    out = null
+  }
+
+  private def rollover(): Unit = {
+    closeFile()
+    val serial = partitionId * 100000 + fileIdx
+    val name = f"$prefix-$tsCompact-$serial%09d-$host.$ext"
+    finalPath = Paths.get(dir, name)
+    // attempt-unique working name: concurrent speculative attempts never
+    // touch each other's bytes; only the committed attempt's files publish
+    openPath = Paths.get(dir, name + s".open.$taskId")
+    out = new WarcDataWriter.Counting(
+      new BufferedOutputStream(Files.newOutputStream(openPath), 1 << 16))
+    fileIdx += 1
+    written = 0
+    warcinfoId = WarcDataWriter.urnUuidOf(s"warcinfo:$name")
+    val payload = WarcSink.warcinfoFields(host)
+      .map { case (k, v) => s"$k: $v\r\n" }.mkString.getBytes(StandardCharsets.UTF_8)
+    writeOne("WARC/1.1", Seq(
+      "WARC-Date" -> WarcDataWriter.isoDate(tsCompact),
+      "WARC-Filename" -> name,
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> warcinfoId,
+      "Content-Type" -> "application/warc-fields"), payload)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null || written >= maxRecordsPerFile) rollover()
+    val version = row.getUTF8String(versionIdx).toString
+    val m = row.getMap(headersIdx)
+    val keys = m.keyArray(); val vals = m.valueArray()
+    val headers = (0 until m.numElements()).map(i =>
+      keys.getUTF8String(i).toString -> vals.getUTF8String(i).toString)
+    val content =
+      if (row.isNullAt(contentIdx)) Array.emptyByteArray
+      else if (contentIsString) row.getUTF8String(contentIdx).getBytes
+      else row.getBinary(contentIdx)
+    val stamped =
+      if (headers.exists(_._1.equalsIgnoreCase("WARC-Warcinfo-ID"))) headers
+      else headers :+ ("WARC-Warcinfo-ID" -> warcinfoId)
+    writeOne(version, stamped, content)
+    written += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeFile()
+    WarcCommitMessage(committed.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    out = null
+    Option(openPath).foreach(p => Files.deleteIfExists(p))
+    committed.foreach(f => Files.deleteIfExists(Paths.get(f.openPath)))
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}
+
+object WarcDataWriter {
+  private[sources] final class Counting(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+  }
+
+  private[sources] def urnUuidOf(seed: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes(StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    s"<urn:uuid:${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20, 32)}>"
+  }
+
+  private[sources] def isoDate(tsCompact: String): String = {
+    val t = tsCompact.padTo(14, '0')
+    s"${t.substring(0, 4)}-${t.substring(4, 6)}-${t.substring(6, 8)}T" +
+      s"${t.substring(8, 10)}:${t.substring(10, 12)}:${t.substring(12, 14)}Z"
+  }
+}

@@ -90,6 +90,29 @@ class WarcSourceSpec extends SparkSpec {
     assert(back.select("record_id").except(whole.select("record_id")).count() === 0)
   }
 
+  test("DSv2 write path: df.write -> commit-protocol publish -> scan round-trip") {
+    val dir = Files.createTempDirectory("warcv2w").toString
+    sampleRows(60).repartition(3).write.format(Fmt)
+      .option("maxRecordsPerFile", "10").mode("append").save(dir)
+    val listing = new java.io.File(dir).list().toSeq
+    // all-or-nothing publish: no attempt files survive a successful commit
+    assert(!listing.exists(_.contains(".open")), listing.mkString(","))
+    assert(listing.count(_.endsWith(".warc.gz")) >= 6) // 3 partitions x 20/10
+    assert(listing.count(_.endsWith(".warc.gz.idx")) ===
+      listing.count(_.endsWith(".warc.gz")))
+    val back = spark.read.format(Fmt).load(dir).cache()
+    assert(back.filter(col("warc_type") =!= "warcinfo").count() === 60)
+    assert(back.filter(col("warc_type") =!= "warcinfo")
+      .filter(col("warcinfo_id").isNull).count() === 0)
+    // sidecar coordinates agree with the reader's member tracking
+    assert(back.filter(col("member_offset") < 0).count() === 0)
+    val row = back.filter(col("record_id") === "<urn:uuid:r7>")
+      .select("warc_type", "content").head()
+    assert(row.getString(0) === "response")
+    assert(new String(row.getAs[Array[Byte]](1), "UTF-8") === "payload-7")
+    back.unpersist()
+  }
+
   test("plain (uncompressed) .warc scan works and headers map is case-insensitive-keyed") {
     val dir = Files.createTempDirectory("warcplain").toString
     WarcSink.write(sampleRows(10).coalesce(1), dir, gzip = false)
