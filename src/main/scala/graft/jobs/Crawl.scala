@@ -172,25 +172,32 @@ object Crawl {
       } else {
         val fetched = fetchedF.map(Await.result(_, Duration.Inf)).getOrElse(doFetch())
         lap(s"r$round fetch+checkpoint")
-        val warcPlan = Fetch.buildWarcRows(fetched, digestSeen, dopp, cdx, fcfg)
+        val doStats = cfg.collectStats || store.nonEmpty
+        // metrics ride the materialization itself: Dataset.observe attaches
+        // a CollectMetrics node, so the checkpoint that materializes the
+        // round's warc rows ALSO delivers the reference's atomic counters
+        // (warc.go:62-73; A1) — no second scan, no extra job. Tier counts
+        // are conditional sums over the fixed tier set (dialer.go:707-735).
+        val obs = new org.apache.spark.sql.Observation(s"graft-round-$round")
+        def tierCount(t: String) =
+          sum(when(col("seq") === 0 && col("dedupe_source") === t, 1L).otherwise(0L)).as(t)
+        val warcPlan0 = Fetch.buildWarcRows(fetched, digestSeen, dopp, cdx, fcfg)
           .withColumn("round", lit(round))
+        val warcPlan =
+          if (doStats) warcPlan0.observe(obs,
+            tierCount("none"), tierCount("local"), tierCount("doppelganger"), tierCount("cdx"),
+            sum(when(col("seq") === 0, col("payload_size")).otherwise(0L)).as("bytes"))
+          else warcPlan0
         val warc = if (cfg.checkpointState) warcPlan.localCheckpoint() else warcPlan.cache()
+        if (!cfg.checkpointState && doStats) warc.count() // cache() alone defers the action
         lap(s"r$round warc+checkpoint")
         val newDigests = Fetch.newDigestEntries(warc, fcfg)
         val links = Fetch.outlinks(fetched, fcfg)
 
-        // metrics: grouped-sum reproduction of the reference's atomic
-        // counters (warc.go:62-73; A1): per-tier revisit counts and bytes
-        val doStats = cfg.collectStats || store.nonEmpty
-        val tierRows =
-          if (doStats)
-            warc.filter(col("seq") === 0)
-              .groupBy("dedupe_source")
-              .agg(count(lit(1)).as("n"), sum("payload_size").as("bytes"))
-              .collect()
-          else Array.empty[org.apache.spark.sql.Row]
-        val byTier = tierRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-        val bytes = tierRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+        val metrics = if (doStats) obs.get else Map.empty[String, Any]
+        val byTier = Seq("none", "local", "doppelganger", "cdx")
+          .map(t => t -> metrics.get(t).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
+        val bytes = metrics.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
         val nResp = byTier.getOrElse("none", 0L)
         val nRevisit = byTier.filterKeys(_ != "none").values.sum
 
