@@ -205,8 +205,11 @@ object DedupOps {
    * standard prefix/frequency-filter trade-off from the set-similarity-join
    * literature; size `maxDocFreq` to the corpus (it must exceed the largest
    * duplicate-cluster size you need to recover — or run [[exactDedup]] first
-   * so identical texts collapse before candidate generation). Candidates
-   * carry ids only; gram sets join back for the exact verification.
+   * so identical texts collapse before candidate generation). Pass
+   * `maxDocFreq <= 0` for EXACT candidate generation (every shared gram, no
+   * cap) — full recall, quadratic in the hottest gram's document frequency;
+   * sane for small/deduplicated corpora only. Candidates carry ids only;
+   * gram sets join back for the exact verification.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
@@ -222,8 +225,9 @@ object DedupOps {
     // hashed verification below already rests on.
     val exploded = grams.select(col("id"), explode(col("grams")).as("g0"))
       .select(col("id"), xxhash64(col("g0")).as("g"))
+    val dfCap = if (maxDocFreq <= 0) Long.MaxValue else maxDocFreq
     val rare = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+      .filter(col("df") <= dfCap && col("df") >= 2)
       .select("g")
     val candGrams = exploded.join(rare, Seq("g")) // semi-join reduction
     val l = candGrams.select(col("g"), col("id").as("id_a"))

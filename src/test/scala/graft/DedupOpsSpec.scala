@@ -30,6 +30,29 @@ class DedupOpsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("ngram jaccard exact mode (maxDocFreq<=0) matches brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "alpha beta gamma other words"),
+      (3L, "totally different text entirely")).toDF("doc_id", "text")
+    val got = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+      threshold = 0.2, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // brute force over word-bigram sets
+    def grams(s: String) = s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val texts = Map(0L -> "alpha beta gamma delta epsilon", 1L -> "alpha beta gamma delta zeta",
+      2L -> "alpha beta gamma other words", 3L -> "totally different text entirely")
+    val expect = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      ga = grams(texts(a)); gb = grams(texts(b))
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      if j >= 0.2
+    } yield (a, b, math.rint(j * 10000) / 10000)).toSeq.sorted
+    assert(got.toSeq === expect)
+  }
+
   test("rep expansion preserves pair-for-pair output on a mixed corpus") {
     import spark.implicits._
     // two duplicate clusters + near-dup texts: every cross pair of two
