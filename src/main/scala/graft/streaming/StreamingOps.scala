@@ -87,6 +87,62 @@ object StreamingOps {
   }
 
   /**
+   * Streaming per-host politeness budget: `flatMapGroupsWithState` keyed by
+   * host with a lifetime emitted-count per host — W5's ranking-window top-k
+   * as unbounded-stream state. Events within a micro-batch are ordered
+   * deterministically (ts, url_key) before the budget is applied; once a
+   * host's budget is exhausted, its later candidates are dropped for the
+   * stream's lifetime (the batch engine's per-round budget is the
+   * round-scoped variant).
+   */
+  def hostBudget(candidates: Dataset[(String, String, Timestamp)],
+                 budget: Long): Dataset[(String, String, Timestamp)] = {
+    import candidates.sparkSession.implicits._
+    candidates
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (host: String, rows: Iterator[(String, String, Timestamp)],
+         state: GroupState[Long]) => {
+          val used = state.getOption.getOrElse(0L)
+          val room = math.max(0L, budget - used)
+          val take = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+            .take(math.min(room, Int.MaxValue.toLong).toInt)
+          if (take.nonEmpty) state.update(used + take.size)
+          take.iterator
+        })
+  }
+
+  /**
+   * The composed streaming frontier: raw candidate URLs -> RFC 3986
+   * canonicalization -> URL-seen first-sighting dedup -> per-host politeness
+   * budget. The live-feed (`readStream`) equivalent of Scheduler.schedule's
+   * canonicalize -> notSeen -> budget chain, with the seen set and host
+   * budgets as streaming state instead of snapshot tables.
+   */
+  def frontierStream(raw: DataFrame, budgetPerHost: Long): Dataset[(String, String, Timestamp)] = {
+    import raw.sparkSession.implicits._
+    val canon = raw.select(
+      graft.functions.UrlCanonicalize.url_canonicalize(col("url")).as("url_key"),
+      col("ts"))
+      .withColumn("host", parse_url(col("url_key"), lit("HOST")))
+      .select(col("url_key"), col("host"), col("ts"))
+      .as[(String, String, Timestamp)]
+    // first sighting per url_key, host carried in the emitted tuple
+    val fresh = canon
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[(String, String, Timestamp)],
+         state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(rows.toSeq.minBy(r => (r._3.getTime, r._2)))
+          }
+        })
+    hostBudget(fresh, budgetPerHost)
+  }
+
+  /**
    * Streaming URL-seen: `mapGroupsWithState` keyed by url_key emitting each
    * key exactly once (its first sighting) — the frontier's NOT-EXISTS as
    * streaming state. Duplicate sightings update a counter but emit nothing

@@ -89,6 +89,38 @@ class GzipMemberSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"), e.getMessage)
   }
 
+  test("property: random member sizes round-trip with exact contiguous coordinates") {
+    val rnd = new scala.util.Random(42) // seeded: reproducible failures
+    val payloads = (0 until 25).map { i =>
+      val n = rnd.nextInt(200 * 1024) // 0..200 KiB, crossing the 64 KiB buffers
+      val b = new Array[Byte](n)
+      if (i % 2 == 0) rnd.nextBytes(b) // incompressible
+      else java.util.Arrays.fill(b, ('a' + i % 26).toByte) // highly compressible
+      b
+    }
+    val bos = new ByteArrayOutputStream()
+    payloads.foreach(p => graft.sources.WarcIO.writeGzipMember(bos)(_.write(p)))
+    val bytes = bos.toByteArray
+    val gz = new GzipMemberInputStream(new ByteArrayInputStream(bytes))
+    // read with randomized chunk sizes to exercise refill boundaries
+    val got = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = 0
+    while (n >= 0) {
+      n = gz.read(buf, 0, 1 + rnd.nextInt(buf.length))
+      if (n > 0) got.write(buf, 0, n)
+    }
+    assert(got.toByteArray === payloads.reduce(_ ++ _))
+    val ms = gz.members
+    assert(ms.length === payloads.length)
+    assert(ms.head.offset === 0L)
+    ms.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + a.size === b.offset)
+      case _ =>
+    }
+    assert(ms.last.offset + ms.last.size === bytes.length)
+  }
+
   test("truncation mid-member raises EOF; clean EOF at a boundary returns -1") {
     val m1 = stdMember("first".getBytes)
     val m2 = stdMember("second".getBytes)

@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed streaming frontier: canonicalize -> seen-dedup -> host budget across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingOps.frontierStream(
+      input.toDF().toDF("url", "ts"), budgetPerHost = 2)
+      .writeStream.format("memory").queryName("frontier_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a denormalized duplicate (canonicalizes to h1's /p1) + two hosts
+      input.addData(
+        ("http://h1.example/p1", ts(1)),
+        ("HTTP://H1.EXAMPLE:80/a/../p1", ts(2)), // same url_key after RFC 3986
+        ("http://h1.example/p2", ts(3)),
+        ("http://h2.example/p1", ts(4)))
+      q.processAllAvailable()
+      // batch 2: h1 is at budget (2) — /p3 must be dropped; an exact duplicate
+      // of h2/p1 must be suppressed by the seen state; h2/p2 still has room
+      input.addData(
+        ("http://h1.example/p3", ts(5)),
+        ("http://h2.example/p1", ts(6)),
+        ("http://h2.example/p2", ts(7)))
+      q.processAllAvailable()
+
+      val rows = spark.table("frontier_out").as[(String, String, Timestamp)]
+        .collect().map(_._1).sorted.toSeq
+      assert(rows === Seq(
+        "http://h1.example/p1", "http://h1.example/p2",
+        "http://h2.example/p1", "http://h2.example/p2"))
+    } finally q.stop()
+  }
+
   test("watermarked windowed fetch metrics aggregate counts and bytes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
