@@ -1,11 +1,12 @@
 package graft.snapshot
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.JavaConverters._
 import scala.collection.mutable
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -16,10 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * checkpoints, per-partition lineage — behind an interface an Iceberg
  * catalog could replace.
  *
+ * All I/O goes through the Hadoop FileSystem of the root path's scheme: a
+ * 100 TB archive's snapshot state lives on object storage / HDFS, not on a
+ * driver-local disk (`file:/` roots behave exactly as before for tests).
+ *
  * Commit protocol = the reference's `.open` -> rename-on-close handoff
  * (warc.go:189,244-248) lifted to table level: data files land first, then
- * the manifest is written to a temp name and atomically renamed. A crash
- * mid-round leaves the previous manifest intact (the mend analog,
+ * the manifest is written to a temp name and renamed (atomic on HDFS and
+ * posix local fs; object stores substitute conditional-put semantics). A
+ * crash mid-round leaves the previous manifest intact (the mend analog,
  * mend.go:298-375: "truncate to last valid"); orphan data files are swept by
  * [[vacuum]].
  *
@@ -29,23 +35,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 class SnapshotStore(val root: String) {
   private val mapper = new ObjectMapper()
-  private val manifestsDir = Paths.get(root, "manifests")
-  private val dataDir = Paths.get(root, "data")
-  Files.createDirectories(manifestsDir)
-  Files.createDirectories(dataDir)
+  private val rootPath = new HPath(root)
+  private val fs: FileSystem = rootPath.getFileSystem(
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration()))
+  private val manifestsDir = new HPath(rootPath, "manifests")
+  private val dataDir = new HPath(rootPath, "data")
+  fs.mkdirs(manifestsDir)
+  fs.mkdirs(dataDir)
 
   val ReplaceTables: Set[String] = Set("frontier", "filters")
 
-  // Files.list/Files.walk streams hold a directory fd until closed; these run
-  // on the driver once per commit/read, so leaking them accumulates open fds
-  // over a long crawl. Materialize under try/finally.
-  private def listNames(dir: Path): Seq[String] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.map(_.getFileName.toString).toVector finally s.close()
-  }
-  private def walkFiles(dir: Path): Seq[Path] = {
-    val s = Files.walk(dir)
-    try s.iterator().asScala.toVector finally s.close()
+  private def listNames(dir: HPath): Seq[String] =
+    fs.listStatus(dir).map(_.getPath.getName).toVector
+
+  private def walkFiles(dir: HPath): Seq[HPath] = {
+    val it = fs.listFiles(dir, true)
+    val buf = mutable.Buffer[HPath]()
+    while (it.hasNext) buf += it.next().getPath
+    buf.toVector
   }
 
   private def manifestVersions: Seq[Int] =
@@ -62,7 +70,8 @@ class SnapshotStore(val root: String) {
 
   private def readManifest(version: Int): Option[Manifest] =
     try {
-      val node = mapper.readTree(manifestsDir.resolve(s"v$version.json").toFile)
+      val in = fs.open(new HPath(manifestsDir, s"v$version.json"))
+      val node = try mapper.readTree(in) finally in.close()
       val files = node.get("tables").fields().asScala.map { e =>
         e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
       }.toMap
@@ -79,10 +88,10 @@ class SnapshotStore(val root: String) {
     val version = parent.map(_.version + 1).getOrElse(0)
     val written = mutable.Map[String, Seq[String]]()
     tables.foreach { case (name, df) =>
-      val dir = dataDir.resolve(name).resolve(s"r$round")
+      val dir = new HPath(new HPath(dataDir, name), s"r$round")
       df.write.mode("overwrite").parquet(dir.toString)
       written(name) = walkFiles(dir)
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(_.getName.endsWith(".parquet"))
         .map(_.toString).sorted
     }
     // cumulative file lists for append tables
@@ -99,22 +108,25 @@ class SnapshotStore(val root: String) {
     node.put("parent", parent.map(_.version).getOrElse(-1))
     node.put("committed_round_epoch", round.toLong) // logical time, never wall clock
     val tablesNode = node.putObject("tables")
-    files.foreach { case (name, fs) =>
+    files.foreach { case (name, fsList) =>
       val arr: ArrayNode = tablesNode.putArray(name)
-      fs.foreach(arr.add)
+      fsList.foreach(arr.add)
     }
     val countsNode = node.putObject("counts")
     metrics.foreach { case (k, v) => countsNode.put(k, v) }
     // lineage: which files this round added, per table (per-partition lineage)
     val lineageNode = node.putObject("lineage")
-    written.foreach { case (name, fs) =>
-      val arr = lineageNode.putArray(name); fs.foreach(arr.add)
+    written.foreach { case (name, fsList) =>
+      val arr = lineageNode.putArray(name); fsList.foreach(arr.add)
     }
 
-    val tmp = manifestsDir.resolve(s".tmp-v$version.json")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    Files.move(tmp, manifestsDir.resolve(s"v$version.json"),
-      StandardCopyOption.ATOMIC_MOVE) // the atomic ".open"->final rename
+    val tmp = new HPath(manifestsDir, s".tmp-v$version.json")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new HPath(manifestsDir, s"v$version.json"))) // the ".open"->final rename
+      throw new java.io.IOException(s"manifest rename failed for v$version")
     Manifest(version, round, parent.map(_.version).getOrElse(-1), files,
       metrics)
   }
@@ -138,12 +150,11 @@ class SnapshotStore(val root: String) {
   def vacuum(): Seq[String] = {
     val referenced = latest.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
     val removed = mutable.Buffer[String]()
-    if (Files.exists(dataDir)) {
+    if (fs.exists(dataDir)) {
       walkFiles(dataDir)
-        .filter(p => Files.isRegularFile(p))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => p.getName.endsWith(".parquet"))
         .filter(p => !referenced.contains(p.toString))
-        .foreach { p => Files.delete(p); removed += p.toString }
+        .foreach { p => fs.delete(p, false); removed += p.toString }
     }
     removed.toSeq
   }
