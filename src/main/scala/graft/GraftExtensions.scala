@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                        arity: Int, build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
       FunctionIdentifier(name),
-      new ExpressionInfo(getClass.getName, name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""),
       (args: Seq[Expression]) => {
         require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
         build(args)

@@ -78,13 +78,15 @@ object Fetch {
     joined
       .withColumn("status", when(col("doc_id").isNull, lit(404)).otherwise(lit(200)))
       .withColumn("__payload_raw", when(col("doc_id").isNull, lit("")).otherwise(payload))
-      // oversize guard (client.go:190-194): keep the first cap bytes; the
-      // digest is computed over the KEPT bytes (the reference digests what it
-      // spooled) and the row is flagged for WARC-Truncated: length
+      // oversize guard (client.go:190-194): the cap is BYTE-denominated like
+      // the reference's (octet_length + a char-boundary-safe byte cut, not
+      // substring's character count); the digest is computed over the KEPT
+      // bytes (the reference digests what it spooled) and the row is flagged
+      // for WARC-Truncated: length
       .withColumn("payload_truncated",
-        length(col("__payload_raw")) > cfg.maxReadBeforeTruncate)
+        octet_length(col("__payload_raw")) > cfg.maxReadBeforeTruncate)
       .withColumn("payload", when(col("payload_truncated"),
-        substring(col("__payload_raw"), 1, cfg.maxReadBeforeTruncate))
+        graft.functions.TextBytes.utf8_byte_truncate(col("__payload_raw"), cfg.maxReadBeforeTruncate))
         .otherwise(col("__payload_raw")))
       // HTTP headers reflect what the server DECLARED (the full length) even
       // when the body is cut — the reference records the wire headers as
@@ -94,7 +96,9 @@ object Fetch {
         .otherwise(SyntheticWeb.headersExpr(col("__payload_raw"))))
       .withColumn("content", concat(col("http_headers"), col("payload")))
       .withColumn("payload_digest", warc_sha1_b32(col("payload")))
-      .withColumn("payload_size", length(col("payload")).cast("long"))
+      // sizes are OCTETS throughout (SizeThreshold and Content-Length are
+      // byte counts in the reference; == chars only for ASCII payloads)
+      .withColumn("payload_size", octet_length(col("payload")).cast("long"))
       .drop("page_url_key", "__payload_raw")
   }
 
@@ -206,7 +210,7 @@ object Fetch {
       when(col("is_revisit"), lit("revisit")).otherwise(lit("response")).as("warc_type"),
       col("url_key").as("target_uri"),
       captureTime.as("warc_date"),
-      length(respContent).cast("long").as("content_length"),
+      octet_length(respContent).cast("long").as("content_length"),
       warc_sha1_b32(respContent).as("block_digest"),
       col("payload_digest"),
       reqId.as("concurrent_to"),
@@ -230,7 +234,7 @@ object Fetch {
       lit("request").as("warc_type"),
       col("url_key").as("target_uri"),
       captureTime.as("warc_date"),
-      length(reqContent).cast("long").as("content_length"),
+      octet_length(reqContent).cast("long").as("content_length"),
       warc_sha1_b32(reqContent).as("block_digest"),
       lit(null).cast("string").as("payload_digest"),
       respId.as("concurrent_to"),

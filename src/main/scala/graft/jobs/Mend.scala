@@ -175,7 +175,8 @@ object Mend {
     val finalData =
       if (renamed) path.resolveSibling(path.getFileName.toString.stripSuffix(".open")) else path
     for (idx <- Seq(Paths.get(pathStr + ".idx"),
-                    Paths.get(pathStr.stripSuffix(".open") + ".idx")).filter(Files.exists(_))) {
+                    Paths.get(pathStr.stripSuffix(".open") + ".idx"))
+           .distinct.filter(Files.exists(_))) {
       if (err != null && lastValidEnd == 0) Files.delete(idx)
       else {
         val in = Files.newInputStream(idx)

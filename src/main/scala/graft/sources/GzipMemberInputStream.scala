@@ -24,7 +24,8 @@ import java.util.zip.{CRC32, DataFormatException, Inflater, ZipException}
  * CRC32 and ISIZE are verified per member — a corrupt tail fails loudly at
  * the exact member, never as garbled WARC text downstream.
  */
-final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16)
+final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
+                                  trackMembers: Boolean = false)
     extends InputStream {
 
   final case class Member(offset: Long, size: Long)
@@ -50,7 +51,10 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16)
   private var _lastMemberEnd = 0L
   private val _members = scala.collection.mutable.Buffer[Member]()
 
-  /** All fully-consumed member coordinates so far (offset, compressed size). */
+  /** All fully-consumed member coordinates so far (offset, compressed size).
+    * Recorded only when `trackMembers` — a million-member archive would
+    * otherwise accumulate the whole index in task memory; the scan and mend
+    * paths need only the RUNNING coordinates below. */
   def members: Seq[Member] = _members.toSeq
 
   /** True when every byte returned so far belongs to fully-consumed members —
@@ -142,7 +146,7 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16)
     consume(8)
     inMember = false
     _lastMemberEnd = fileOff
-    _members += Member(curMemberStart, fileOff - curMemberStart)
+    if (trackMembers) _members += Member(curMemberStart, fileOff - curMemberStart)
   }
 
   /** Inflate into outBuf; stops at member end (trailer consumed eagerly). */

@@ -189,7 +189,8 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, filters)
+    new WarcReaderFactory(required, filters,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 /** One scan task: a byte range of `file` beginning at a member boundary
@@ -197,10 +198,11 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
 case class WarcInputPartition(file: String, start: Long, length: Long,
                               startOrdinal: Long) extends InputPartition
 
-class WarcReaderFactory(required: StructType, filters: Array[Filter])
+class WarcReaderFactory(required: StructType, filters: Array[Filter],
+                        conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], required, filters)
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], required, filters, conf)
 }
 
 /** Reads at most `limit` bytes of `in` — a member-range window. */
@@ -219,19 +221,22 @@ private[sources] final class BoundedInputStream(in: InputStream, limit: Long)
   override def close(): Unit = in.close()
 }
 
-class WarcPartitionReader(part: WarcInputPartition, required: StructType, filters: Array[Filter])
+class WarcPartitionReader(part: WarcInputPartition, required: StructType,
+                          filters: Array[Filter], conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  // executor-side open through the Hadoop FS of the file's scheme; seek to
-  // the partition's member-aligned start offset
+  // executor-side open through the Hadoop FS of the file's scheme — with the
+  // DRIVER's resolved configuration (credentials/endpoints ride along) —
+  // seeking to the partition's member-aligned start offset
   private val hfile = new HPath(part.file)
-  private val fs = hfile.getFileSystem(new Configuration())
+  private val fs = hfile.getFileSystem(conf.value)
   private val stream = {
     val s = fs.open(hfile)
     if (part.start > 0) s.seek(part.start)
     s
   }
-  private val it = WarcIO.records(new BoundedInputStream(stream, part.length), part.start)
+  private val (it, decompressor) =
+    WarcIO.openRecords(new BoundedInputStream(stream, part.length), part.start)
   private var current: WarcIO.ParsedRecord = _
 
   private def fieldValue(rec: WarcIO.ParsedRecord, name: String): Any = name match {
@@ -273,5 +278,7 @@ class WarcPartitionReader(part: WarcInputPartition, required: StructType, filter
   override def get(): InternalRow =
     InternalRow.fromSeq(required.fields.map(f => fieldValue(current, f.name)).toSeq)
 
-  override def close(): Unit = stream.close()
+  override def close(): Unit = {
+    decompressor.close() // ends the native Inflater, then cascades to `stream`
+  }
 }

@@ -104,15 +104,29 @@ object WarcIO {
    */
   def records(raw: InputStream): Iterator[ParsedRecord] = records(raw, 0L)
 
-  def records(raw: InputStream, baseOffset: Long): Iterator[ParsedRecord] = {
+  /** NOTE: the returned iterator wraps a decompressor holding a native
+    * Inflater; callers that scan many files should use [[openRecords]] and
+    * close the returned resource (closing `raw` alone does not end it). */
+  def records(raw: InputStream, baseOffset: Long): Iterator[ParsedRecord] =
+    openRecords(raw, baseOffset)._1
+
+  /** Record iterator plus the decompressor resource that owns its native
+    * buffers — close it when done (the per-partition scan path does). */
+  def openRecords(raw: InputStream, baseOffset: Long = 0L)
+      : (Iterator[ParsedRecord], java.io.Closeable) = {
     val buf = new BufferedInputStream(raw, 1 << 16)
     buf.mark(2)
     val b0 = buf.read(); val b1 = buf.read()
     buf.reset()
     if (b0 == 0x1f && b1 == 0x8b) {
       val gz = new GzipMemberInputStream(buf)
-      recordIterator(gz, Some(gz), baseOffset)
-    } else recordIterator(open(buf), None, baseOffset)
+      (recordIterator(gz, Some(gz), baseOffset), gz)
+    } else {
+      val in = open(buf)
+      (recordIterator(in, None, baseOffset), new java.io.Closeable {
+        override def close(): Unit = in.close()
+      })
+    }
   }
 
   private def recordIterator(in: InputStream, gz: Option[GzipMemberInputStream],

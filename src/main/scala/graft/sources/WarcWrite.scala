@@ -2,10 +2,9 @@ package graft.sources
 
 import java.io.BufferedOutputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{MapType, StringType, StructType}
@@ -14,7 +13,11 @@ import org.apache.spark.sql.types.{MapType, StringType, StructType}
  * DataSourceV2 WARC write path:
  * `df.write.format("graft.sources.WarcDataSource").save(dir)` over rows of
  * (version string, headers map<string,string>, content string|binary) — the
- * same record shape `WarcSink.toRecordColumns` produces.
+ * same record shape `WarcSink.toRecordColumns` produces. All I/O goes
+ * through the Hadoop FileSystem of the target path's scheme, with the
+ * driver's resolved configuration shipped to the tasks — the write works on
+ * any shared filesystem (file:/ in tests, HDFS/object storage on a cluster),
+ * NOT just a driver-local disk.
  *
  * Commit protocol — gowarc's `.open` -> rename handoff (warc.go:189,244-248)
  * lifted onto Spark's BatchWrite coordinator, which is strictly stronger
@@ -25,6 +28,10 @@ import org.apache.spark.sql.types.{MapType, StringType, StructType}
  *  - the driver's commit() renames ALL files of the winning attempts after
  *    EVERY task succeeded — an all-or-nothing publish; abort() deletes the
  *    partials of failed jobs
+ *  - file names are DETERMINISTIC (SURVEY §7.6), so in append mode a name
+ *    collision with an earlier write fails the commit LOUDLY instead of
+ *    silently replacing data (use a distinct prefix/tsCompact per logical
+ *    write, or mode("overwrite") to deliberately replace)
  * Per-file content matches WarcSink exactly: leading warcinfo record with a
  * deterministic id, WARC-Warcinfo-ID stamped on every record, one gzip
  * member per record, sidecar `.idx` member index.
@@ -33,13 +40,12 @@ import org.apache.spark.sql.types.{MapType, StringType, StructType}
  */
 class WarcWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
     with SupportsTruncate {
-  // overwrite mode: accepted as a no-op marker — final names are
-  // deterministic, so re-publishing the same logical write replaces files
-  override def truncate(): WriteBuilder = this
-  override def build(): Write = new WarcWrite(path, info)
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new WarcWrite(path, info, overwrite)
 }
 
-class WarcWrite(path: String, info: LogicalWriteInfo) extends Write {
+class WarcWrite(path: String, info: LogicalWriteInfo, overwrite: Boolean) extends Write {
   override def toBatch: BatchWrite = {
     val o = info.options
     new WarcBatchWrite(
@@ -49,7 +55,9 @@ class WarcWrite(path: String, info: LogicalWriteInfo) extends Write {
       o.getOrDefault("tsCompact", "20231114221320000"),
       o.getBoolean("gzip", true),
       o.getInt("maxRecordsPerFile", 100000),
-      o.getOrDefault("host", "local"))
+      o.getOrDefault("host", "local"),
+      overwrite,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
@@ -57,43 +65,57 @@ case class WarcFileCommit(openPath: String, finalPath: String)
 case class WarcCommitMessage(files: Seq[WarcFileCommit]) extends WriterCommitMessage
 
 class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact: String,
-                     gzip: Boolean, maxRecordsPerFile: Int, host: String)
+                     gzip: Boolean, maxRecordsPerFile: Int, host: String,
+                     overwrite: Boolean, conf: SerializableHadoopConf)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host)
+    new WarcWriterFactory(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host, conf)
 
   /** All-or-nothing publish: rename every attempt file after every task
     * committed (driver side, after the write job succeeded). */
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(dir).getFileSystem(conf.value)
     messages.foreach {
       case WarcCommitMessage(files) =>
         files.foreach { f =>
-          Files.move(Paths.get(f.openPath), Paths.get(f.finalPath),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          val target = new HPath(f.finalPath)
+          if (fs.exists(target)) {
+            if (overwrite) fs.delete(target, false)
+            else throw new java.io.IOException(
+              s"refusing to replace existing $target in append mode: deterministic " +
+                "file names collide across writes — use a distinct prefix/tsCompact " +
+                "per logical write, or mode(\"overwrite\")")
+          }
+          if (!fs.rename(new HPath(f.openPath), target))
+            throw new java.io.IOException(s"rename failed: ${f.openPath} -> $target")
         }
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }
+  }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(dir).getFileSystem(conf.value)
     messages.filter(_ != null).foreach {
       case WarcCommitMessage(files) =>
-        files.foreach(f => Files.deleteIfExists(Paths.get(f.openPath)))
+        files.foreach(f => fs.delete(new HPath(f.openPath), false))
       case _ =>
     }
+  }
 }
 
 class WarcWriterFactory(dir: String, schema: StructType, prefix: String, tsCompact: String,
-                        gzip: Boolean, maxRecordsPerFile: Int, host: String)
+                        gzip: Boolean, maxRecordsPerFile: Int, host: String,
+                        conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host,
-      partitionId, taskId)
+      partitionId, taskId, conf)
 }
 
 class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact: String,
                      gzip: Boolean, maxRecordsPerFile: Int, host: String,
-                     partitionId: Int, taskId: Long)
+                     partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   private val versionIdx = schema.fieldIndex("version")
@@ -103,18 +125,19 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
   require(schema.fields(headersIdx).dataType.isInstanceOf[MapType],
     "headers column must be map<string,string>")
 
+  private val dirPath = new HPath(dir)
+  private val fs = dirPath.getFileSystem(conf.value)
+  fs.mkdirs(dirPath) // idempotent
+
   private val ext = if (gzip) "warc.gz" else "warc"
   private var fileIdx = 0
   private var written = 0
   private var out: WarcDataWriter.Counting = _
-  private var openPath: java.nio.file.Path = _
-  private var finalPath: java.nio.file.Path = _
+  private var openPath: HPath = _
+  private var finalPath: HPath = _
   private var warcinfoId: String = _
   private val members = scala.collection.mutable.Buffer[(Long, Long)]()
   private val committed = scala.collection.mutable.Buffer[WarcFileCommit]()
-
-  // write through the Hadoop FS of the target scheme (mkdirs is idempotent)
-  new HPath(dir).getFileSystem(new Configuration()).mkdirs(new HPath(dir))
 
   private def writeOne(version: String, headers: Seq[(String, String)], content: Array[Byte]): Unit = {
     val start = out.count
@@ -126,10 +149,11 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
   private def closeFile(): Unit = if (out != null) {
     out.close()
     if (gzip) {
-      val idxOpen = Paths.get(finalPath.toString + s".idx.open.$taskId")
-      val s = Files.newOutputStream(idxOpen)
+      val idxOpen = new HPath(dirPath, finalPath.getName + s".idx.open.$taskId")
+      val s = fs.create(idxOpen, true)
       try WarcIO.writeMemberIndex(s, members.toSeq) finally s.close()
-      committed += WarcFileCommit(idxOpen.toString, finalPath.toString + ".idx")
+      committed += WarcFileCommit(idxOpen.toString,
+        new HPath(dirPath, finalPath.getName + ".idx").toString)
       members.clear()
     }
     committed += WarcFileCommit(openPath.toString, finalPath.toString)
@@ -140,12 +164,12 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
     closeFile()
     val serial = partitionId * 100000 + fileIdx
     val name = f"$prefix-$tsCompact-$serial%09d-$host.$ext"
-    finalPath = Paths.get(dir, name)
+    finalPath = new HPath(dirPath, name)
     // attempt-unique working name: concurrent speculative attempts never
     // touch each other's bytes; only the committed attempt's files publish
-    openPath = Paths.get(dir, name + s".open.$taskId")
+    openPath = new HPath(dirPath, name + s".open.$taskId")
     out = new WarcDataWriter.Counting(
-      new BufferedOutputStream(Files.newOutputStream(openPath), 1 << 16))
+      new BufferedOutputStream(fs.create(openPath, true), 1 << 16))
     fileIdx += 1
     written = 0
     warcinfoId = WarcDataWriter.urnUuidOf(s"warcinfo:$name")
@@ -185,8 +209,8 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
   override def abort(): Unit = {
     if (out != null) out.close()
     out = null
-    Option(openPath).foreach(p => Files.deleteIfExists(p))
-    committed.foreach(f => Files.deleteIfExists(Paths.get(f.openPath)))
+    Option(openPath).foreach(p => fs.delete(p, false))
+    committed.foreach(f => fs.delete(new HPath(f.openPath), false))
   }
 
   override def close(): Unit = if (out != null) { out.close(); out = null }

@@ -62,7 +62,7 @@ class GzipMemberSpec extends AnyFunSuite {
     val p2 = "payload-two".getBytes
     val m1 = memberWithOptionalFields(p1)
     val m2 = stdMember(p2)
-    val gz = new GzipMemberInputStream(new ByteArrayInputStream(m1 ++ m2))
+    val gz = new GzipMemberInputStream(new ByteArrayInputStream(m1 ++ m2), 1 << 16, trackMembers = true)
     assert(readAll(gz) === p1 ++ p2)
     assert(gz.members === Seq(gz.Member(0, m1.length), gz.Member(m1.length, m2.length)))
     assert(gz.atMemberBoundary && gz.lastMemberEndOffset === m1.length + m2.length)
@@ -73,7 +73,7 @@ class GzipMemberSpec extends AnyFunSuite {
     val m2 = stdMember(Array.fill(4000)('b'.toByte))
     val bytes = m1 ++ m2
     bytes(m1.length + m2.length / 2) = (bytes(m1.length + m2.length / 2) ^ 0x55).toByte
-    val gz = new GzipMemberInputStream(new ByteArrayInputStream(bytes))
+    val gz = new GzipMemberInputStream(new ByteArrayInputStream(bytes), 1 << 16, trackMembers = true)
     val e = intercept[ZipException](readAll(gz))
     assert(e.getMessage.contains(s"offset ${m1.length}"), e.getMessage)
     // member 1 was fully verified before the failure: the mend cut point
@@ -101,7 +101,7 @@ class GzipMemberSpec extends AnyFunSuite {
     val bos = new ByteArrayOutputStream()
     payloads.foreach(p => graft.sources.WarcIO.writeGzipMember(bos)(_.write(p)))
     val bytes = bos.toByteArray
-    val gz = new GzipMemberInputStream(new ByteArrayInputStream(bytes))
+    val gz = new GzipMemberInputStream(new ByteArrayInputStream(bytes), 1 << 16, trackMembers = true)
     // read with randomized chunk sizes to exercise refill boundaries
     val got = new ByteArrayOutputStream()
     val buf = new Array[Byte](64 * 1024)

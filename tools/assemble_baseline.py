@@ -27,6 +27,20 @@ for a, b in zip(rows, rows[1:]):
         f"| {a['level']} -> {b['level']} | {thr_b / thr_a:.2f}x (of {ratio:.0f}x cores) | **{eff:.3f}** |")
 pair_rows = "\n".join(pair_rows)
 
+r1_walls = {2: 276.6, 8: 88.1, 32: 58.4}  # round-1 final, same workload+protocol
+round_over_round = ""
+if [r["level"] for r in rows] == sorted(r1_walls):
+    rr = "\n".join(
+        f"| {r['level']} | {r1_walls[r['level']]} | {r['secs']:.1f} | "
+        f"{r1_walls[r['level']] / r['secs']:.2f}x |" for r in rows)
+    round_over_round = f"""
+## Round-over-round (same workload, same protocol)
+
+| Cores | round 1 wall (s) | round 2 wall (s) | speedup |
+| --- | --- | --- | --- |
+{rr}
+"""
+
 md = f"""# BENCH — two-cluster-size scaling evidence (round 2, pinned protocol)
 
 Metric (BASELINE.json): **frontier throughput = URLs scheduled+deduped/sec**,
@@ -62,14 +76,7 @@ IDENTICAL input at pinned core counts, per the round-1 protocol:
 | --- | --- | --- |
 {pair_rows}
 
-## Round-over-round (same workload, same protocol)
-
-| Cores | round 1 wall (s) | round 2 wall (s) | speedup |
-| --- | --- | --- | --- |
-| 2 | 276.6 | {rows[0]['secs']:.1f} | {276.6 / rows[0]['secs']:.2f}x |
-| 8 | 88.1 | {rows[1]['secs']:.1f} | {88.1 / rows[1]['secs']:.2f}x |
-| 32 | 58.4 | {rows[2]['secs']:.1f} | {58.4 / rows[2]['secs']:.2f}x |
-
+{round_over_round}
 Round-2 changes behind the speedup: shard-local filter lifecycle (the
 driver-side filter collect/merge/per-task-binary shipping is gone), de-skewed
 digest window (eligible slice only), two-phase global cap, cuckoo shards
@@ -98,7 +105,7 @@ overlapped materializations contend for the single-box storage-memory pool
 
 The reference publishes no throughput numbers (benchmark harnesses only,
 read_test.go:493, client_test.go:1891-2135). Single-node absolute:
-**{urls / rows[2]['secs']:,.0f} URLs scheduled+deduped/sec** at 32 cores — full
+**{urls / rows[-1]['secs']:,.0f} URLs scheduled+deduped/sec** at {rows[-1]['level']} cores — full
 dedup-tier joins, digesting, revisit construction, politeness scheduling —
 vs 22,802/s in round 1.
 
