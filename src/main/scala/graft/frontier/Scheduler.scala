@@ -32,7 +32,8 @@ object Scheduler {
       perHostBudget: Int = 100,
       maxPerRound: Long = Long.MaxValue,
       numSlots: Int = 32, // politeness partitions (= executor-task slots)
-      salt: Int = 0) // deterministic per-round slot salt
+      salt: Int = 0, // deterministic per-round slot salt
+      userAgent: String = "*") // robots group selection (RFC 9309 §2.2.1)
 
   /**
    * Raw candidates -> canonicalized, deduped-within-round frontier rows.
@@ -126,7 +127,7 @@ object Scheduler {
                robots: Option[DataFrame],
                cfg: Config): DataFrame = {
     val canon = canonicalize(candidates)
-    val polite = robots.map(r => robotsFilter(canon, r)).getOrElse(canon)
+    val polite = robots.map(r => robotsFilter(canon, r, cfg.userAgent)).getOrElse(canon)
     val fresh = SeenSetOps.notSeen(polite, "url_key", seenFilter, seenKeys)
 
     // per-host budget: ranking-window top-k (SURVEY W5)
