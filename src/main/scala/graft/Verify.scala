@@ -15,9 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump path is the v0 driver contract: `$outDir/$name` with NO suffix.
+    // The driver enumerates dump entries and looks up oracle SQL by the
+    // entry name — a `.parquet` suffix makes every lookup miss (no_oracle).
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+        .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -38,22 +41,30 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    // SELF-CHECK (round-1 lesson: a stale dump at the wrong scale factor
-    // zeroed the whole correctness gate). Assert the dump really derives
-    // from THIS sf dir — a full-table query's row count must equal the
-    // documents table's — and record the provenance next to the dump.
-    val docRows = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val dumpRows = spark.read.parquet(s"$outDir/q19_text_stats.parquet").count()
-    val ok = docRows == dumpRows
+    // NAME-CONTRACT SELF-CHECK (round-2 lesson: a `.parquet` suffix on the
+    // dump directories made every driver oracle lookup miss → no_oracle × 47
+    // two rounds running). Every oracleSql key must have a dump directory of
+    // the SAME string, and every dump entry must be a queries key.
+    val dumped = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    val qKeys = SparkEntry.queries.keySet
+    val oKeys = SparkEntry.oracleSql.keySet
+    val missingDump = oKeys.diff(dumped)
+    val strayDump = dumped.diff(qKeys)
+    val orphanOracle = oKeys.diff(qKeys)
     Files.writeString(Paths.get(s"$outDir/dump_meta.json"),
-      s"""{"sf_dir": ${q(sfDir)}, "documents_rows": $docRows, """ +
-        s""""q19_rows": $dumpRows, "scale_check": ${if (ok) "\"pass\"" else "\"FAIL\""}}""")
-    if (!ok) {
-      System.err.println(s"[verify] SCALE MISMATCH: documents=$docRows q19=$dumpRows")
+      s"""{"sf_dir": ${q(sfDir)}, "dump_entries": ${dumped.size}, """ +
+        s""""queries": ${qKeys.size}, "oracles": ${oKeys.size}, """ +
+        s""""name_contract": ${if (missingDump.isEmpty && strayDump.isEmpty && orphanOracle.isEmpty) "\"pass\"" else "\"FAIL\""}}""")
+    if (missingDump.nonEmpty || strayDump.nonEmpty || orphanOracle.nonEmpty) {
+      System.err.println(s"[verify] NAME CONTRACT VIOLATION: " +
+        s"oracle keys with no dump=$missingDump; dump entries not in queries=$strayDump; " +
+        s"oracle keys not in queries=$orphanOracle")
       spark.stop()
       sys.exit(2)
     }
-    println(s"[verify] dump complete: $outDir matches $sfDir (documents=$docRows)")
+    println(s"[verify] dump complete: $outDir (${dumped.size} entries, " +
+      s"${oKeys.size} with oracle SQL, name contract OK)")
     spark.stop()
   }
 }

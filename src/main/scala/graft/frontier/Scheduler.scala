@@ -86,8 +86,14 @@ object Scheduler {
       when(col("path_prefix").endsWith("$"), wild.substr(lit(1), length(wild) - 1))
         .otherwise(concat(wild, lit("%")))
     }
+    // back-compat: the pre-group-selection schema (host, rule_type,
+    // path_prefix) has no user_agent column — treat every rule as the `*`
+    // group instead of failing analysis with an unrelated-looking error
+    val uaCol =
+      if (robots.columns.contains("user_agent")) coalesce(col("user_agent"), lit("*"))
+      else lit("*")
     val rules = robots
-      .withColumn("ua", lower(coalesce(col("user_agent"), lit("*"))))
+      .withColumn("ua", lower(uaCol))
       .withColumn("like_pat", likePat)
       .withColumn("len", length(col("path_prefix")))
       .groupBy("host")
@@ -137,9 +143,11 @@ object Scheduler {
       .withColumn("host_seq", row_number().over(wHost))
       .filter(col("host_seq") <= cfg.perHostBudget)
 
+    val capOrder = Seq(col("priority").asc, col("host_seq").asc,
+      col("discovery_time").asc, col("url_key").asc)
     val capped =
       if (cfg.maxPerRound == Long.MaxValue) budgeted
-      else
+      else if (cfg.maxPerRound <= Int.MaxValue.toLong)
         // global cap with deterministic preference: priority, then host
         // fairness. sort+limit compiles to a TWO-PHASE top-k (per-partition
         // LocalLimit, then a global cap over at most partitions*k survivor
@@ -147,9 +155,16 @@ object Scheduler {
         // the whole frontier through ONE task (VERDICT r1 "what's wrong" #3).
         // url_key is unique after canonicalize(), so the order is total and
         // the kept set is deterministic.
-        budgeted.orderBy(col("priority").asc, col("host_seq").asc,
-            col("discovery_time").asc, col("url_key").asc)
-          .limit(math.min(cfg.maxPerRound, Int.MaxValue.toLong).toInt)
+        budgeted.orderBy(capOrder: _*).limit(cfg.maxPerRound.toInt)
+      else
+        // caps above Int.MaxValue can't ride .limit (Int argument); honor the
+        // Long cap exactly via the ranking-window path rather than silently
+        // clamping. Single-task sort is acceptable for this edge: a >2^31-row
+        // round would already be mis-sized upstream.
+        budgeted.withColumn("__round_seq", row_number().over(
+            Window.orderBy(capOrder: _*)))
+          .filter(col("__round_seq") <= cfg.maxPerRound)
+          .drop("__round_seq")
 
     // politeness layout: one slot per host (keeps a host's fetches serial
     // within a task), deterministic slot salt per round

@@ -94,6 +94,26 @@ object Crawl {
 
     // resume from the last committed snapshot when a store is present
     val resumed = store.flatMap(s => s.latest)
+    // shard probing in notSeen is keyed by pmod(hash, numShards): resuming a
+    // persisted filter table under a DIFFERENT shard count would misalign the
+    // probe and read absent shard rows as definite-miss — silently
+    // re-scheduling seen URLs. The manifest records the geometry; mismatch
+    // fails loudly instead.
+    resumed.foreach { m =>
+      m.counts.get("num_shards").filter(_ != cfg.numShards.toLong).foreach { was =>
+        throw new IllegalStateException(
+          s"snapshot was written with numShards=$was but resume config has " +
+            s"numShards=${cfg.numShards}: the persisted filter table cannot be " +
+            "re-sharded in place — resume with the original shard count")
+      }
+      m.counts.get("bloom_blocks_per_shard").filter(_ != cfg.bloomBlocksPerShard.toLong)
+        .foreach { was =>
+          throw new IllegalStateException(
+            s"snapshot was written with bloomBlocksPerShard=$was but resume config " +
+              s"has ${cfg.bloomBlocksPerShard}: merged filter blobs would be " +
+              "incompatible — resume with the original geometry")
+        }
+    }
     var round = resumed.map(_.round + 1).getOrElse(0)
     var frontier = resumed
       .flatMap(_ => store.get.read(spark, "frontier"))
@@ -253,7 +273,9 @@ object Crawl {
             "fetch_log" -> warc.filter(col("seq") === 0).select(
               col("target_uri"), col("host"), col("status"),
               col("content_length").as("bytes"), col("dedupe_source"), col("truncated"), col("round"))),
-            Map("total_scheduled" -> totalScheduled, "round_scheduled" -> nScheduled))
+            Map("total_scheduled" -> totalScheduled, "round_scheduled" -> nScheduled,
+              "num_shards" -> cfg.numShards.toLong,
+              "bloom_blocks_per_shard" -> cfg.bloomBlocksPerShard.toLong))
           // rebind state to committed files (truncates lineage, enables resume)
           seenKeys = s.read(spark, "url_seen").get
           digestSeen = s.read(spark, "digest_seen").get

