@@ -21,8 +21,9 @@ import java.util.zip.{CRC32, DataFormatException, Inflater, ZipException}
  * mend truncate a crashed `.warc.gz` at the last valid member
  * (mend.go:298-375).
  *
- * CRC32 and ISIZE are verified per member — a corrupt tail fails loudly at
- * the exact member, never as garbled WARC text downstream.
+ * CRC32 and ISIZE are verified per member, and the optional header CRC16
+ * (FHCRC) is verified when present — a corrupt tail or header fails loudly
+ * at the exact member, never as garbled WARC text downstream.
  */
 final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
                                   trackMembers: Boolean = false)
@@ -44,6 +45,7 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
 
   private val inf = new Inflater(true)
   private val crc = new CRC32
+  private val hcrc = new CRC32 // header CRC (RFC 1952 FHCRC, lower 16 bits)
   private var fedLen = 0 // bytes currently handed to the inflater from inBuf(bufStart)
   private var inMember = false
   private var finished = false
@@ -93,13 +95,21 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
 
   private def consume(n: Int): Unit = { bufStart += n; fileOff += n }
 
+  /** Consume header bytes, feeding the running header CRC (RFC 1952 §2.3.1:
+    * CRC16 = lower 16 bits of the CRC32 of all header bytes up to, but not
+    * including, the CRC16 field itself). */
+  private def consumeHeader(n: Int): Unit = {
+    hcrc.update(inBuf, bufStart, n)
+    consume(n)
+  }
+
   private def u8(i: Int): Int = inBuf(bufStart + i) & 0xff
 
   private def skipZeroTerminated(): Unit = {
     var done = false
     while (!done) {
       if (!fillIn(1)) throw new EOFException("gzip header truncated in zero-terminated field")
-      val b = u8(0); consume(1)
+      val b = u8(0); consumeHeader(1)
       done = b == 0
     }
   }
@@ -113,19 +123,29 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
       throw new ZipException(f"bad gzip member magic ${u8(0)}%02x${u8(1)}%02x at offset $fileOff")
     if (u8(2) != 8) throw new ZipException(s"unsupported gzip CM ${u8(2)} at offset $fileOff")
     val flg = u8(3)
-    consume(10)
+    hcrc.reset()
+    consumeHeader(10)
     if ((flg & 4) != 0) { // FEXTRA
       fillIn(2)
       var left = u8(0) | (u8(1) << 8)
-      consume(2)
+      consumeHeader(2)
       while (left > 0) {
         if (!fillIn(1)) throw new EOFException("gzip FEXTRA truncated")
-        val take = math.min(left, availIn); consume(take); left -= take
+        val take = math.min(left, availIn); consumeHeader(take); left -= take
       }
     }
     if ((flg & 8) != 0) skipZeroTerminated() // FNAME
     if ((flg & 16) != 0) skipZeroTerminated() // FCOMMENT
-    if ((flg & 2) != 0) { fillIn(2); consume(2) } // FHCRC (not verified; data CRC32 is)
+    if ((flg & 2) != 0) { // FHCRC: CRC16 over the header bytes consumed above
+      fillIn(2)
+      val stored = u8(0) | (u8(1) << 8)
+      val computed = (hcrc.getValue & 0xffffL).toInt
+      if (stored != computed)
+        throw new ZipException(
+          f"gzip FHCRC mismatch in member at offset $curMemberStart: " +
+            f"stored=$stored%04x computed=$computed%04x")
+      consume(2)
+    }
     inf.reset(); crc.reset(); fedLen = 0; inMember = true
     true
   }

@@ -20,7 +20,8 @@ object WarcProbe {
     val rows = Seq(("WARC/1.1", Map("WARC-Type" -> "response", "WARC-Record-ID" -> "<urn:uuid:x>"), "abc"))
       .toDF("version", "headers", "content")
     graft.sources.WarcSink.write(rows.coalesce(1), dir.toString)
-    val f = Files.list(dir).iterator().next()
+    val listing = Files.list(dir)
+    val f = try listing.iterator().next() finally listing.close()
     println("clean scan count: " + spark.read.format(fmt).load(dir.toString).count())
     Files.write(f, "GARBAGE-NOT-GZIP".getBytes, StandardOpenOption.APPEND)
     try println("garbage scan count: " + spark.read.format(fmt).load(dir.toString).count())

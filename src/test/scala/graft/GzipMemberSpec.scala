@@ -27,16 +27,23 @@ class GzipMemberSpec extends AnyFunSuite {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 24) & 0xff).toByte)
 
-  /** Hand-built member with ALL optional header fields set. */
-  private def memberWithOptionalFields(payload: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
+  /** Hand-built member with ALL optional header fields set. The FHCRC field
+    * carries the real RFC 1952 CRC16 (lower 16 bits of the CRC32 over every
+    * header byte preceding it), optionally corrupted. */
+  private def memberWithOptionalFields(payload: Array[Byte],
+                                       corruptFhcrc: Boolean = false): Array[Byte] = {
+    val hdr = new ByteArrayOutputStream()
     // magic, CM=deflate, FLG = FHCRC|FEXTRA|FNAME|FCOMMENT, mtime, XFL, OS
-    out.write(Array(0x1f, 0x8b, 0x08, 0x1e, 0, 0, 0, 0, 0, 0xff).map(_.toByte))
-    out.write(Array(3, 0).map(_.toByte)) // FEXTRA: xlen=3 LE
-    out.write(Array(1, 2, 3).map(_.toByte)) // FEXTRA payload
-    out.write("file.warc.gz".getBytes); out.write(0) // FNAME, zero-terminated
-    out.write("a comment".getBytes); out.write(0) // FCOMMENT
-    out.write(Array(0x42, 0x42).map(_.toByte)) // FHCRC (skipped, not verified)
+    hdr.write(Array(0x1f, 0x8b, 0x08, 0x1e, 0, 0, 0, 0, 0, 0xff).map(_.toByte))
+    hdr.write(Array(3, 0).map(_.toByte)) // FEXTRA: xlen=3 LE
+    hdr.write(Array(1, 2, 3).map(_.toByte)) // FEXTRA payload
+    hdr.write("file.warc.gz".getBytes); hdr.write(0) // FNAME, zero-terminated
+    hdr.write("a comment".getBytes); hdr.write(0) // FCOMMENT
+    val hcrc = new CRC32; hcrc.update(hdr.toByteArray)
+    val crc16 = (hcrc.getValue & 0xffffL).toInt ^ (if (corruptFhcrc) 0x0101 else 0)
+    val out = new ByteArrayOutputStream()
+    out.write(hdr.toByteArray)
+    out.write(Array(crc16 & 0xff, (crc16 >> 8) & 0xff).map(_.toByte)) // FHCRC LE
     out.write(deflateRaw(payload))
     val crc = new CRC32; crc.update(payload)
     out.write(le32(crc.getValue)); out.write(le32(payload.length.toLong))
@@ -66,6 +73,19 @@ class GzipMemberSpec extends AnyFunSuite {
     assert(readAll(gz) === p1 ++ p2)
     assert(gz.members === Seq(gz.Member(0, m1.length), gz.Member(m1.length, m2.length)))
     assert(gz.atMemberBoundary && gz.lastMemberEndOffset === m1.length + m2.length)
+  }
+
+  test("a corrupted FHCRC fails loudly at the member's offset") {
+    val m1 = stdMember("good first member".getBytes)
+    val bad = memberWithOptionalFields("never reached".getBytes, corruptFhcrc = true)
+    val gz = new GzipMemberInputStream(new ByteArrayInputStream(m1 ++ bad), 1 << 16,
+      trackMembers = true)
+    val e = intercept[ZipException](readAll(gz))
+    assert(e.getMessage.contains("FHCRC") && e.getMessage.contains(s"offset ${m1.length}"),
+      e.getMessage)
+    // the preceding member was fully verified: mend's cut point is intact
+    assert(gz.lastMemberEndOffset === m1.length)
+    assert(gz.members === Seq(gz.Member(0, m1.length)))
   }
 
   test("a flipped byte inside a member fails loudly with the member offset") {

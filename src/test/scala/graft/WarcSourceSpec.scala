@@ -90,6 +90,33 @@ class WarcSourceSpec extends SparkSpec {
     assert(back.select("record_id").except(whole.select("record_id")).count() === 0)
   }
 
+  test("IndexWarc makes a foreign index-less .warc.gz splittable; rows identical") {
+    val dir = Files.createTempDirectory("warcforeign").toString
+    WarcSink.write(sampleRows(200).coalesce(1), dir, maxRecordsPerFile = 1000)
+    // simulate a FOREIGN archive: strip the sink's sidecar index
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".idx"))
+      .foreach(f => assert(f.delete()))
+    val unsplit = spark.read.format(Fmt).option("maxPartitionBytes", "2048").load(dir)
+    assert(unsplit.rdd.getNumPartitions === 1, "index-less file must scan whole")
+    val baseline = unsplit.orderBy("record_ordinal").collect()
+
+    val report = graft.jobs.IndexWarc.indexAll(spark, dir).collect()
+    assert(report.length === 1)
+    val r = report.head
+    assert(r.getAs[Boolean]("built") && r.getAs[String]("error") == null)
+    assert(r.getAs[Long]("members") === 201) // 200 records + 1 warcinfo
+    val warc = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".warc.gz")).get
+    assert(r.getAs[Long]("compressedBytes") === warc.length())
+
+    // built sidecar matches the reader's own coordinates, and the scan splits
+    val split = spark.read.format(Fmt).option("maxPartitionBytes", "2048").load(dir)
+    assert(split.rdd.getNumPartitions > 4, s"got ${split.rdd.getNumPartitions}")
+    assert(split.orderBy("record_ordinal").collect() === baseline)
+    // second run is a no-op (index present)
+    assert(graft.jobs.IndexWarc.indexAll(spark, dir).count() === 0)
+  }
+
   test("DSv2 write path: df.write -> commit-protocol publish -> scan round-trip") {
     val dir = Files.createTempDirectory("warcv2w").toString
     sampleRows(60).repartition(3).write.format(Fmt)
