@@ -452,9 +452,14 @@ object SparkEntry {
     }),
 
     "q27_ann_brute_topk" -> ((s, dir) => {
+      // integer-quantized embeddings (the q22 trick): dot products and norms
+      // become exact integer-valued doubles, so cosine values — and therefore
+      // the top-k ranking with its (cosine DESC, id ASC) tie-break — are
+      // bit-identical across engines, making the top-k DuckDB-oracle-checkable
       val e = t(s, dir, "embeddings")
-      AnnOps.cosineTopK(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumn("vq", transform(col("embedding"), x => round(x * 1000, 0).cast("double")))
+      AnnOps.cosineTopK(e, "vec_id", "vq",
+        e.filter(col("vec_id") < 5), "vec_id", "vq", k = 10)
         .orderBy("qid", "rank")
     }),
 
@@ -709,6 +714,25 @@ object SparkEntry {
         |  AND list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) >= 0.25
         |ORDER BY qid, id""".stripMargin,
 
+    "q27_ann_brute_topk" ->
+      """WITH c AS (SELECT vec_id AS id,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |     q AS (SELECT vec_id AS qid,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     scored AS (
+        |       SELECT qid, id,
+        |              list_dot_product(v, qv) /
+        |              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |       FROM c, q),
+        |     ranked AS (
+        |       SELECT qid, id, cos,
+        |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |       FROM scored)
+        |SELECT qid, id, round(cos, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "q29_sessionize" ->
       """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
@@ -725,6 +749,54 @@ object SparkEntry {
     "q30_fingerprint_distinct" ->
       """SELECT lang, count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_langid" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0), x -> x IN (${inList(words)})))"
+      // the Spark fold replaces the best only on STRICTLY greater, so ties
+      // go to the earliest language in (en, de, fr, es) — the cascaded >=
+      // CASE below encodes exactly that preference order
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         ${hits(TextOps.StopwordsEn)} AS en,
+         |         ${hits(TextOps.StopwordsDe)} AS de,
+         |         ${hits(TextOps.StopwordsFr)} AS fr,
+         |         ${hits(TextOps.StopwordsEs)} AS es,
+         |         CASE WHEN length(text) = 0 THEN 0.0
+         |              ELSE CAST(length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS DOUBLE) / length(text) END AS cjk
+         |  FROM documents)
+         |SELECT lang_pred, count(*) AS n FROM (
+         |  SELECT CASE WHEN cjk > 0.25 THEN 'zh'
+         |              WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+         |              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |              WHEN de >= fr AND de >= es THEN 'de'
+         |              WHEN fr >= es THEN 'fr'
+         |              ELSE 'es' END AS lang_pred
+         |  FROM s) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q33_quality_score" -> {
+      val hitsEn =
+        s"len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0), x -> x IN (${inList(TextOps.StopwordsEn)})))"
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS n_tok,
+         |         length(regexp_replace(text, '\\s+', '', 'g')) AS nospace,
+         |         CASE WHEN length(text) = 0 THEN 0.0
+         |              ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+         |         $hitsEn AS en
+         |  FROM documents)
+         |SELECT score, count(*) AS n FROM (
+         |  SELECT round(
+         |      (CASE WHEN n_tok BETWEEN 8 AND 100000 THEN 0.25 ELSE 0.0 END) +
+         |      (CASE WHEN punct < 0.2 THEN 0.25 ELSE 0.0 END) +
+         |      (CASE WHEN n_tok > 0 AND CAST(en AS DOUBLE) / n_tok > 0.05 THEN 0.25 ELSE 0.0 END) +
+         |      (CASE WHEN n_tok > 0 AND CAST(nospace AS DOUBLE) / n_tok BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END),
+         |      2) AS score
+         |  FROM s) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q34_warc_serialize" ->
       """WITH r AS (
