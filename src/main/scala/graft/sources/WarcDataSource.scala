@@ -150,7 +150,8 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
         while (it.hasNext) {
           val st = it.next()
           val n = st.getPath.getName
-          if (n.endsWith(".warc") || n.endsWith(".warc.gz")) buf += st
+          if (n.endsWith(".warc") || n.endsWith(".warc.gz") || n.endsWith(".warc.zst") ||
+            n.endsWith(".warc.bz2") || n.endsWith(".warc.xz")) buf += st
         }
         buf.sortBy(_.getPath.toString).toSeq
       } else Seq(fs.getFileStatus(root))
@@ -158,8 +159,9 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
     files.flatMap { st =>
       val f = st.getPath
       val idxPath = new HPath(f.toString + ".idx")
+      val framed = f.getName.endsWith(".warc.gz") || f.getName.endsWith(".warc.zst")
       val members: Option[Seq[(Long, Long)]] =
-        if (f.getName.endsWith(".warc.gz") && fs.exists(idxPath)) {
+        if (framed && fs.exists(idxPath)) {
           val in = fs.open(idxPath)
           try Some(WarcIO.readMemberIndex(in)) finally in.close()
         } else None
@@ -230,13 +232,39 @@ class WarcPartitionReader(part: WarcInputPartition, required: StructType,
   // seeking to the partition's member-aligned start offset
   private val hfile = new HPath(part.file)
   private val fs = hfile.getFileSystem(conf.value)
-  private val stream = {
-    val s = fs.open(hfile)
-    if (part.start > 0) s.seek(part.start)
-    s
+  private val stream = fs.open(hfile)
+
+  /** A ranged read of a dictionary-compressed `.warc.zst` starts mid-file,
+    * past the leading skippable dictionary frame — probe the file HEAD for
+    * the frame (positioned read; the main pointer is untouched) and load the
+    * dictionary the range's frames were compressed against. */
+  private def zstdDictFromHead(): Option[Array[Byte]] = {
+    val head = new Array[Byte](4)
+    val n = stream.read(0L, head, 0, 4)
+    if (n == 4 && (head(0) & 0xf0) == 0x50 && head(1) == 0x2a &&
+        head(2) == 0x4d && head(3) == 0x18) {
+      val s2 = fs.open(hfile)
+      try Some(WarcIO.readZstdDictionaryFrame(s2)) finally s2.close()
+    } else None
   }
-  private val (it, decompressor) =
-    WarcIO.openRecords(new BoundedInputStream(stream, part.length), part.start)
+
+  private val (it, decompressor) = {
+    val dict =
+      if (part.file.endsWith(".warc.zst") && part.start > 0) zstdDictFromHead()
+      else None // start==0 ranges sniff the dict frame in-stream (WarcIO.open)
+    if (part.start > 0) stream.seek(part.start)
+    val bounded = new BoundedInputStream(stream, part.length)
+    dict match {
+      case Some(d) =>
+        val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.BufferedInputStream(bounded, 1 << 16))
+        z.setDict(d)
+        val in = new java.io.BufferedInputStream(z, 1 << 16)
+        (WarcIO.decompressedRecords(in, part.start),
+          new java.io.Closeable { override def close(): Unit = in.close() })
+      case None => WarcIO.openRecords(bounded, part.start)
+    }
+  }
   private var current: WarcIO.ParsedRecord = _
 
   private def fieldValue(rec: WarcIO.ParsedRecord, name: String): Any = name match {

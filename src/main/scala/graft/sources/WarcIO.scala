@@ -1,10 +1,14 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream, OutputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import scala.collection.mutable
+
+import com.github.luben.zstd.{ZstdCompressCtx, ZstdInputStreamNoFinalizer}
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
 
 /**
  * WARC byte-level reader/writer, semantics per the reference implementation
@@ -15,8 +19,8 @@ import scala.collection.mutable
  *  - with gzip, EACH RECORD IS ITS OWN GZIP MEMBER (read.go:236-254) — that
  *    per-member framing is what makes .warc.gz splittable at scale; the
  *    writer here reproduces it (one GZIPOutputStream finish() per record)
- *  - compression is sniffed from magic bytes (read.go:358-374): gzip or plain
- *    are supported offline (bzip2/xz/zstd would need codecs not shipped here)
+ *  - compression is sniffed from magic bytes (read.go:358-374): gzip, bzip2,
+ *    xz, zstd, zstd+dictionary skippable frame, or plain
  *  - header keys are case-insensitive (header.go:12-38): parsed into a map
  *    keyed lowercase, original case preserved in serialization only
  */
@@ -32,33 +36,99 @@ object WarcIO {
 
   private val CRLF = "\r\n".getBytes(StandardCharsets.US_ASCII)
 
-  /** Sniff the compression magic (read.go:358-374) and wrap; GZIPInputStream
-    * reads concatenated members transparently (the Multistream(false) reset
-    * loop in read.go:243-254 collapses to one continuous stream here).
-    * Codecs the reference supports but that ship no offline decoder here
-    * (zstd, zstd+dictionary skippable frame, bzip2, xz) are RECOGNIZED and
-    * reported with a precise error instead of being mis-parsed as WARC text. */
+  /** Sniff the compression magic and wrap — the reference's full dispatch
+    * (read.go:358-440): gzip, bzip2, xz, zstd, and zstd with a leading
+    * skippable dictionary frame (the warc-zstd convention, utils.go:42-73 /
+    * read.go:488-535). GZIPInputStream reads concatenated members
+    * transparently (the Multistream(false) reset loop in read.go:243-254
+    * collapses to one continuous stream here); the zstd and bzip2/xz readers
+    * likewise read concatenated frames/streams to EOF. */
   def open(in: InputStream): InputStream = {
     val buf = new BufferedInputStream(in, 1 << 16)
-    buf.mark(4)
-    val b = Array(buf.read(), buf.read(), buf.read(), buf.read())
+    buf.mark(6)
+    val b = Array.fill(6)(buf.read())
     buf.reset()
     def is(magic: Int*): Boolean = magic.zipWithIndex.forall { case (m, i) => b(i) == m }
     if (is(0x1f, 0x8b)) new BufferedInputStream(new GZIPInputStream(buf, 1 << 16), 1 << 16)
-    else if (is(0x28, 0xb5, 0x2f, 0xfd))
-      throw new UnsupportedOperationException(
-        "zstd-compressed WARC detected (magic 28 b5 2f fd); no zstd codec ships offline")
-    else if (is(0x5d, 0x2a, 0x4d, 0x18))
-      throw new UnsupportedOperationException(
-        "zstd skippable dictionary frame detected (magic 5d 2a 4d 18, utils.go:42-73); " +
-          "no zstd codec ships offline")
+    else if (is(0x28, 0xb5, 0x2f, 0xfd)) zstdStream(buf, None)
+    else if ((b(0) & 0xf0) == 0x50 && b(1) == 0x2a && b(2) == 0x4d && b(3) == 0x18)
+      // skippable frame (any 0x184D2A5x magic, read.go:428-429) carrying the
+      // zstd-compressed custom dictionary; the records follow as normal frames
+      zstdStream(buf, Some(readZstdDictionaryFrame(buf)))
     else if (is('B', 'Z', 'h'))
-      throw new UnsupportedOperationException(
-        "bzip2-compressed WARC detected (magic BZh); no bzip2 codec ships offline")
-    else if (is(0xfd, '7', 'z', 'X'))
-      throw new UnsupportedOperationException(
-        "xz-compressed WARC detected (magic fd 37 7a 58); no xz codec ships offline")
+      new BufferedInputStream(new BZip2CompressorInputStream(buf, true), 1 << 16)
+    else if (is(0xfd, '7', 'z', 'X', 'Z', 0x00))
+      new BufferedInputStream(new XZCompressorInputStream(buf, true), 1 << 16)
     else buf
+  }
+
+  private def zstdStream(in: InputStream, dict: Option[Array[Byte]]): InputStream = {
+    val z = new ZstdInputStreamNoFinalizer(in)
+    dict.foreach(z.setDict)
+    // NoFinalizer: the native DCtx frees on close() — the scan path closes
+    // its decompressor per partition (WarcPartitionReader.close)
+    new BufferedInputStream(z, 1 << 16)
+  }
+
+  /** Magic of the skippable frame carrying the dictionary (utils.go:55). */
+  val ZstdDictionaryFrameMagic: Long = 0x184D2A5DL
+
+  /** Parse the leading skippable dictionary frame (8-byte header: LE magic +
+    * LE payload size; payload = zstd-compressed dictionary) and return the
+    * DECOMPRESSED dictionary (read.go:488-535). Consumes exactly the frame. */
+  def readZstdDictionaryFrame(in: InputStream): Array[Byte] = {
+    val header = readFully(in, 8)
+    def le32(off: Int): Long =
+      ((header(off) & 0xffL)) | ((header(off + 1) & 0xffL) << 8) |
+        ((header(off + 2) & 0xffL) << 16) | ((header(off + 3) & 0xffL) << 24)
+    val magic = le32(0)
+    require((magic & 0xfffffff0L) == 0x184D2A50L,
+      f"not a zstd skippable frame: magic $magic%08x")
+    val payload = readFully(in, le32(4))
+    val z = new ZstdInputStreamNoFinalizer(new ByteArrayInputStream(payload))
+    try z.readAllBytes() finally z.close()
+  }
+
+  /** Write the skippable dictionary frame (utils.go:42-73): LE magic
+    * 0x184D2A5D + LE payload size + zstd-compressed dictionary. Returns the
+    * frame's on-disk size. */
+  def writeZstdDictionaryFrame(out: OutputStream, dict: Array[Byte],
+                               level: Int = 19): Long = {
+    val ctx = new ZstdCompressCtx().setLevel(level).setContentSize(true)
+    val payload = try ctx.compress(dict) finally ctx.close()
+    val header = new Array[Byte](8)
+    def putLe32(off: Int, v: Long): Unit = {
+      header(off) = (v & 0xff).toByte
+      header(off + 1) = ((v >> 8) & 0xff).toByte
+      header(off + 2) = ((v >> 16) & 0xff).toByte
+      header(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(0, ZstdDictionaryFrameMagic)
+    putLe32(4, payload.length.toLong)
+    out.write(header)
+    out.write(payload)
+    8L + payload.length
+  }
+
+  /** Compression context for the per-record zstd frames: level + pledged
+    * content size in every frame header (the sizedZstdWriter semantics,
+    * zstd_writer.go:10-42) + optional raw-content dictionary. Reuse one per
+    * task; close() frees the native CCtx. */
+  def zstdCompressCtx(level: Int, dict: Array[Byte]): ZstdCompressCtx = {
+    val ctx = new ZstdCompressCtx().setLevel(level).setContentSize(true)
+    if (dict != null && dict.nonEmpty) ctx.loadDict(dict)
+    ctx
+  }
+
+  /** K6: one SIZED zstd frame per record (write.go:143-153 + one-shot
+    * compression pledges Frame_Content_Size in the frame header), the zstd
+    * analog of the per-record gzip member — what keeps `.warc.zst`
+    * splittable at record granularity via the sidecar index. */
+  def writeZstdMember(out: OutputStream, ctx: ZstdCompressCtx)
+                     (body: OutputStream => Unit): Unit = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 16)
+    body(bos)
+    out.write(ctx.compress(bos.toByteArray))
   }
 
   /** Read one CRLF-terminated line as ASCII/UTF-8 (readUntilDelim analog,
@@ -128,6 +198,12 @@ object WarcIO {
       })
     }
   }
+
+  /** Record iterator over an ALREADY-DECOMPRESSED stream (no sniffing, no
+    * member coordinates) — the ranged `.warc.zst` scan path builds its own
+    * dictionary-aware zstd stream and feeds it here. */
+  def decompressedRecords(in: InputStream, baseOffset: Long): Iterator[ParsedRecord] =
+    recordIterator(in, None, baseOffset)
 
   private def recordIterator(in: InputStream, gz: Option[GzipMemberInputStream],
                              baseOffset: Long): Iterator[ParsedRecord] =

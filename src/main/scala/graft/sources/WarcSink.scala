@@ -48,12 +48,34 @@ object WarcSink {
     "conformsTo" ->
       "http://iipc.github.io/warc-specifications/specifications/warc-format/warc-1.1/")
 
+  /** Effective codec name from the legacy `gzip` flag + the explicit
+    * `compression` override: "gzip", "zstd", or "none". */
+  private def codecOf(gzip: Boolean, compression: String): String =
+    Option(compression).map(_.toLowerCase).getOrElse(if (gzip) "gzip" else "none")
+
+  def extOf(codec: String): String = codec match {
+    case "gzip" => "warc.gz"
+    case "zstd" => "warc.zst"
+    case "none" => "warc"
+    case other => throw new IllegalArgumentException(
+      s"unknown WARC compression '$other' (gzip | zstd | none)")
+  }
+
+  /** `compression` (gzip | zstd | none) overrides the legacy `gzip` flag.
+    * zstd (K6/K7, write.go:143-153 + utils.go:42-73): one SIZED frame per
+    * record, an optional raw-content `zstdDict` written as a leading
+    * skippable dictionary frame per rotated file, and the same sidecar
+    * `.idx` member index as gzip (frames are independently decompressible,
+    * so `.warc.zst` splits at record granularity too). */
   def write(df: DataFrame, dir: String, prefix: String = "GRAFT",
             tsCompact: String = "20231114221320000",
             gzip: Boolean = true, maxRecordsPerFile: Int = 100000,
-            host: String = "local"): Unit = {
+            host: String = "local", compression: String = null,
+            zstdLevel: Int = 8, zstdDict: Array[Byte] = null): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val ext = if (gzip) "warc.gz" else "warc"
+    val codec = codecOf(gzip, compression)
+    val ext = extOf(codec)
+    val framed = codec != "none" // per-record members -> sidecar index
     df.toDF().foreachPartition { (rows: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var fileIdx = 0
@@ -63,17 +85,21 @@ object WarcSink {
       var finalPath: java.nio.file.Path = null
       var warcinfoId: String = null
       val members = scala.collection.mutable.Buffer[(Long, Long)]()
+      lazy val zctx = WarcIO.zstdCompressCtx(zstdLevel, zstdDict)
 
       def writeOne(version: String, headers: Seq[(String, String)], content: Array[Byte]): Unit = {
         val start = counting.count
-        if (gzip) WarcIO.writeGzipMember(counting)(g => WarcIO.writeRecord(g, version, headers, content))
-        else WarcIO.writeRecord(counting, version, headers, content)
-        if (gzip) members += ((start, counting.count - start))
+        codec match {
+          case "gzip" => WarcIO.writeGzipMember(counting)(g => WarcIO.writeRecord(g, version, headers, content))
+          case "zstd" => WarcIO.writeZstdMember(counting, zctx)(z => WarcIO.writeRecord(z, version, headers, content))
+          case _ => WarcIO.writeRecord(counting, version, headers, content)
+        }
+        if (framed) members += ((start, counting.count - start))
       }
 
       def closeFile(): Unit = if (counting != null) {
         counting.close()
-        if (gzip) {
+        if (framed) {
           val idx = Files.newOutputStream(Paths.get(finalPath.toString + ".idx"))
           try WarcIO.writeMemberIndex(idx, members.toSeq) finally idx.close()
         }
@@ -91,6 +117,10 @@ object WarcSink {
           new BufferedOutputStream(Files.newOutputStream(openPath), 1 << 16))
         fileIdx += 1
         written = 0
+        // dictionary skippable frame leads the file (NewWriter, utils.go:76+);
+        // not a member: the .idx records only record frames after it
+        if (codec == "zstd" && zstdDict != null && zstdDict.nonEmpty)
+          WarcIO.writeZstdDictionaryFrame(counting, zstdDict)
         // leading warcinfo record (write.go:156-186); its id stamps every
         // subsequent record in this file as WARC-Warcinfo-ID (warc.go:218-219)
         warcinfoId = urnUuidOf(s"warcinfo:$name")
@@ -104,22 +134,24 @@ object WarcSink {
           "Content-Type" -> "application/warc-fields"), payload)
       }
 
-      rows.foreach { row =>
-        if (counting == null || written >= maxRecordsPerFile) rollover()
-        val version = row.getAs[String]("version")
-        val headers = row.getAs[Map[String, String]]("headers").toSeq
-        val content = row.get(row.fieldIndex("content")) match {
-          case b: Array[Byte] => b
-          case s: String => s.getBytes(StandardCharsets.UTF_8)
-          case null => Array.emptyByteArray
+      try {
+        rows.foreach { row =>
+          if (counting == null || written >= maxRecordsPerFile) rollover()
+          val version = row.getAs[String]("version")
+          val headers = row.getAs[Map[String, String]]("headers").toSeq
+          val content = row.get(row.fieldIndex("content")) match {
+            case b: Array[Byte] => b
+            case s: String => s.getBytes(StandardCharsets.UTF_8)
+            case null => Array.emptyByteArray
+          }
+          val stamped =
+            if (headers.exists(_._1.equalsIgnoreCase("WARC-Warcinfo-ID"))) headers
+            else headers :+ ("WARC-Warcinfo-ID" -> warcinfoId)
+          writeOne(version, stamped, content)
+          written += 1
         }
-        val stamped =
-          if (headers.exists(_._1.equalsIgnoreCase("WARC-Warcinfo-ID"))) headers
-          else headers :+ ("WARC-Warcinfo-ID" -> warcinfoId)
-        writeOne(version, stamped, content)
-        written += 1
-      }
-      closeFile()
+        closeFile()
+      } finally if (codec == "zstd") zctx.close() // free the native CCtx
       ()
     }
   }

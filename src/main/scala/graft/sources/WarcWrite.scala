@@ -36,7 +36,10 @@ import org.apache.spark.sql.types.{MapType, StringType, StructType}
  * deterministic id, WARC-Warcinfo-ID stamped on every record, one gzip
  * member per record, sidecar `.idx` member index.
  *
- * Options: prefix, tsCompact, gzip (true), maxRecordsPerFile, host.
+ * Options: prefix, tsCompact, gzip (true), compression (gzip | zstd | none —
+ * overrides the gzip flag), zstdLevel (8), zstdDictBase64 (raw-content
+ * dictionary, written as a leading skippable frame per file — K7),
+ * maxRecordsPerFile, host.
  */
 class WarcWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
     with SupportsTruncate {
@@ -48,12 +51,18 @@ class WarcWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
 class WarcWrite(path: String, info: LogicalWriteInfo, overwrite: Boolean) extends Write {
   override def toBatch: BatchWrite = {
     val o = info.options
+    val codec = Option(o.get("compression")).map(_.toLowerCase)
+      .getOrElse(if (o.getBoolean("gzip", true)) "gzip" else "none")
+    WarcSink.extOf(codec) // validate early, on the driver
     new WarcBatchWrite(
       path,
       info.schema(),
       o.getOrDefault("prefix", "GRAFT"),
       o.getOrDefault("tsCompact", "20231114221320000"),
-      o.getBoolean("gzip", true),
+      codec,
+      o.getInt("zstdLevel", 8),
+      Option(o.get("zstdDictBase64"))
+        .map(java.util.Base64.getDecoder.decode).orNull,
       o.getInt("maxRecordsPerFile", 100000),
       o.getOrDefault("host", "local"),
       overwrite,
@@ -65,12 +74,14 @@ case class WarcFileCommit(openPath: String, finalPath: String)
 case class WarcCommitMessage(files: Seq[WarcFileCommit]) extends WriterCommitMessage
 
 class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact: String,
-                     gzip: Boolean, maxRecordsPerFile: Int, host: String,
+                     codec: String, zstdLevel: Int, zstdDict: Array[Byte],
+                     maxRecordsPerFile: Int, host: String,
                      overwrite: Boolean, conf: SerializableHadoopConf)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host, conf)
+    new WarcWriterFactory(dir, schema, prefix, tsCompact, codec, zstdLevel, zstdDict,
+      maxRecordsPerFile, host, conf)
 
   /** All-or-nothing publish: rename every attempt file after every task
     * committed (driver side, after the write job succeeded).
@@ -92,7 +103,8 @@ class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact:
     if (overwrite) {
       if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
         val n = st.getPath.getName
-        val owned = n.endsWith(".warc") || n.endsWith(".warc.gz") || n.endsWith(".idx")
+        val owned = n.endsWith(".warc") || n.endsWith(".warc.gz") ||
+          n.endsWith(".warc.zst") || n.endsWith(".idx")
         if (st.isFile && owned) fs.delete(st.getPath, false)
       }
     } else {
@@ -122,16 +134,18 @@ class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact:
 }
 
 class WarcWriterFactory(dir: String, schema: StructType, prefix: String, tsCompact: String,
-                        gzip: Boolean, maxRecordsPerFile: Int, host: String,
+                        codec: String, zstdLevel: Int, zstdDict: Array[Byte],
+                        maxRecordsPerFile: Int, host: String,
                         conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(dir, schema, prefix, tsCompact, gzip, maxRecordsPerFile, host,
-      partitionId, taskId, conf)
+    new WarcDataWriter(dir, schema, prefix, tsCompact, codec, zstdLevel, zstdDict,
+      maxRecordsPerFile, host, partitionId, taskId, conf)
 }
 
 class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact: String,
-                     gzip: Boolean, maxRecordsPerFile: Int, host: String,
+                     codec: String, zstdLevel: Int, zstdDict: Array[Byte],
+                     maxRecordsPerFile: Int, host: String,
                      partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
@@ -146,7 +160,8 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
   private val fs = dirPath.getFileSystem(conf.value)
   fs.mkdirs(dirPath) // idempotent
 
-  private val ext = if (gzip) "warc.gz" else "warc"
+  private val ext = WarcSink.extOf(codec)
+  private val framed = codec != "none" // per-record members -> sidecar index
   private var fileIdx = 0
   private var written = 0
   private var out: WarcDataWriter.Counting = _
@@ -155,17 +170,23 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
   private var warcinfoId: String = _
   private val members = scala.collection.mutable.Buffer[(Long, Long)]()
   private val committed = scala.collection.mutable.Buffer[WarcFileCommit]()
+  private var zctx: com.github.luben.zstd.ZstdCompressCtx = _
 
   private def writeOne(version: String, headers: Seq[(String, String)], content: Array[Byte]): Unit = {
     val start = out.count
-    if (gzip) WarcIO.writeGzipMember(out)(g => WarcIO.writeRecord(g, version, headers, content))
-    else WarcIO.writeRecord(out, version, headers, content)
-    if (gzip) members += ((start, out.count - start))
+    codec match {
+      case "gzip" => WarcIO.writeGzipMember(out)(g => WarcIO.writeRecord(g, version, headers, content))
+      case "zstd" =>
+        if (zctx == null) zctx = WarcIO.zstdCompressCtx(zstdLevel, zstdDict)
+        WarcIO.writeZstdMember(out, zctx)(z => WarcIO.writeRecord(z, version, headers, content))
+      case _ => WarcIO.writeRecord(out, version, headers, content)
+    }
+    if (framed) members += ((start, out.count - start))
   }
 
   private def closeFile(): Unit = if (out != null) {
     out.close()
-    if (gzip) {
+    if (framed) {
       val idxOpen = new HPath(dirPath, finalPath.getName + s".idx.open.$taskId")
       val s = fs.create(idxOpen, true)
       try WarcIO.writeMemberIndex(s, members.toSeq) finally s.close()
@@ -189,6 +210,9 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
       new BufferedOutputStream(fs.create(openPath, true), 1 << 16))
     fileIdx += 1
     written = 0
+    // K7: dictionary skippable frame leads the file; not an .idx member
+    if (codec == "zstd" && zstdDict != null && zstdDict.nonEmpty)
+      WarcIO.writeZstdDictionaryFrame(out, zstdDict)
     warcinfoId = WarcDataWriter.urnUuidOf(s"warcinfo:$name")
     val payload = WarcSink.warcinfoFields(host)
       .map { case (k, v) => s"$k: $v\r\n" }.mkString.getBytes(StandardCharsets.UTF_8)
@@ -218,19 +242,26 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
     written += 1
   }
 
+  private def closeZctx(): Unit = if (zctx != null) { zctx.close(); zctx = null }
+
   override def commit(): WriterCommitMessage = {
     closeFile()
+    closeZctx()
     WarcCommitMessage(committed.toSeq)
   }
 
   override def abort(): Unit = {
     if (out != null) out.close()
     out = null
+    closeZctx()
     Option(openPath).foreach(p => fs.delete(p, false))
     committed.foreach(f => fs.delete(new HPath(f.openPath), false))
   }
 
-  override def close(): Unit = if (out != null) { out.close(); out = null }
+  override def close(): Unit = {
+    if (out != null) { out.close(); out = null }
+    closeZctx()
+  }
 }
 
 object WarcDataWriter {
