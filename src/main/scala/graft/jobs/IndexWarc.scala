@@ -37,8 +37,11 @@ object IndexWarc {
   case class IndexResult(file: String, members: Long, compressedBytes: Long,
                          built: Boolean, error: String)
 
-  /** Index one `.warc.gz`: full decompression pass (CRC32+ISIZE verified per
-    * member), streaming member entries to an atomic sidecar. */
+  /** Index one `.warc.gz` (full decompression pass, CRC32+ISIZE verified per
+    * member) or `.warc.zst` (frame walk — block structure parsed, bytes not
+    * decompressed; a leading skippable dictionary frame is excluded from the
+    * entries so every split starts at a record frame), streaming member
+    * entries to an atomic sidecar. */
   def indexFile(pathStr: String, conf: SerializableHadoopConf,
                 overwrite: Boolean = false): IndexResult = {
     val path = new HPath(pathStr)
@@ -48,27 +51,37 @@ object IndexWarc {
       return IndexResult(pathStr, 0L, 0L, built = false, error = null)
 
     val tmpPath = new HPath(pathStr + s".idx.build.${java.util.UUID.randomUUID()}")
-    val gz = new GzipMemberInputStream(
-      new BufferedInputStream(fs.open(path), 1 << 16))
+    val raw = new BufferedInputStream(fs.open(path), 1 << 16)
+    val gz =
+      if (pathStr.endsWith(".warc.zst")) null
+      else new GzipMemberInputStream(raw)
     val out = fs.create(tmpPath, true)
     var members = 0L
     var prevEnd = 0L
+    val sb = new java.lang.StringBuilder(64)
+    def entry(off: Long, size: Long): Unit = {
+      sb.setLength(0)
+      sb.append(off).append(' ').append(size).append('\n')
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      members += 1
+      prevEnd = off + size
+    }
     try {
-      val buf = new Array[Byte](1 << 16)
-      val sb = new java.lang.StringBuilder(64)
-      var n = gz.read(buf, 0, buf.length)
-      while (n >= 0) {
-        // the decompressor never buffers output across a member boundary, so
-        // a drained output buffer + an advanced end offset == >=1 member done
-        if (gz.atMemberBoundary && gz.lastMemberEndOffset > prevEnd) {
-          val end = gz.lastMemberEndOffset
-          sb.setLength(0)
-          sb.append(prevEnd).append(' ').append(end - prevEnd).append('\n')
-          out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-          prevEnd = end
-          members += 1
+      if (gz == null) {
+        graft.sources.ZstdFrames.frames(raw).foreach { f =>
+          if (!f.skippable) entry(f.offset, f.size)
+          else prevEnd = f.offset + f.size
         }
-        n = gz.read(buf, 0, buf.length)
+      } else {
+        val buf = new Array[Byte](1 << 16)
+        var n = gz.read(buf, 0, buf.length)
+        while (n >= 0) {
+          // the decompressor never buffers output across a member boundary, so
+          // a drained output buffer + an advanced end offset == >=1 member done
+          if (gz.atMemberBoundary && gz.lastMemberEndOffset > prevEnd)
+            entry(prevEnd, gz.lastMemberEndOffset - prevEnd)
+          n = gz.read(buf, 0, buf.length)
+        }
       }
       out.close()
       // publish only after a clean, fully-verified pass
@@ -81,15 +94,16 @@ object IndexWarc {
         IndexResult(pathStr, members, prevEnd, built = false,
           error = Option(e.getMessage).getOrElse(e.getClass.getName))
     } finally {
-      gz.close()
+      if (gz != null) gz.close() else raw.close()
       try out.close() catch { case _: Exception => }
       try if (fs.exists(tmpPath)) fs.delete(tmpPath, false)
       catch { case _: Exception => }
     }
   }
 
-  /** Build sidecar indexes for every index-less `.warc.gz` under `dir`
-    * (recursive, Hadoop FS — works on object storage), one file per task. */
+  /** Build sidecar indexes for every index-less `.warc.gz` / `.warc.zst`
+    * under `dir` (recursive, Hadoop FS — works on object storage), one file
+    * per task. */
   def indexAll(spark: SparkSession, dir: String,
                overwrite: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -101,7 +115,8 @@ object IndexWarc {
       val buf = scala.collection.mutable.Buffer[String]()
       while (it.hasNext) {
         val st = it.next()
-        if (st.getPath.getName.endsWith(".warc.gz")) buf += st.getPath.toString
+        val n = st.getPath.getName
+        if (n.endsWith(".warc.gz") || n.endsWith(".warc.zst")) buf += st.getPath.toString
       }
       buf.sorted.toSeq
     }

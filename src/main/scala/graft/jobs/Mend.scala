@@ -14,11 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * the `.open` suffix — "truncate to last valid", the file-level analog of
  * the snapshot layer's ignore-partial-manifest rule.
  *
- * Scope: PLAIN WARC files get exact truncation (offsets are byte-precise).
- * For `.warc.gz`, per-member offsets require the compressed member index the
- * reference's counting reader maintains (read.go:50-83,319-341); our gzip
- * sink writes one member per record, so a member index is the planned scale
- * path — gzip files are reported, not truncated.
+ * Scope: PLAIN WARC files truncate at exact byte offsets; `.warc.gz` at the
+ * last valid member boundary (the member-tracking decompressor re-derives
+ * coordinates, read.go:50-83,319-341); `.warc.zst` at the last valid FRAME
+ * boundary (ZstdFrames walker, dictionary-aware). All three validate record
+ * structure up to the cut and refresh any sidecar `.idx`.
  *
  * Distribution: one file = one task (`mendAll` maps the file list across the
  * cluster); mending is inherently per-file sequential, like the reference.
@@ -191,12 +191,103 @@ object Mend {
       if (err != null) truncated else 0L, renamed, err)
   }
 
-  /** Mend one WARC file in place (plain: exact byte offsets; gzip: exact
-    * member offsets via the member-tracking decompressor). */
+  /**
+   * Mend a `.warc.zst[.open]` in place: walk exact frame coordinates with
+   * [[graft.sources.ZstdFrames]] (no sidecar needed — a crashed `.open` has
+   * none), decompress each record frame (dictionary-aware: a leading
+   * skippable frame is parsed first), and validate records across frames;
+   * the cut is the last frame boundary coinciding with a record boundary.
+   */
+  private def mendZstdFile(pathStr: String): MendResult = {
+    val path = Paths.get(pathStr)
+    val size = Files.size(path)
+    var records = 0L
+    var lastValidEnd = 0L
+    var err: String = null
+    var dict: Array[Byte] = null
+    var dctx: com.github.luben.zstd.ZstdDecompressCtx = null
+    var pending = Array.emptyByteArray
+    val in = new java.io.BufferedInputStream(Files.newInputStream(path), 1 << 16)
+    try {
+      try {
+        graft.sources.ZstdFrames.frames(in).foreach { f =>
+          if (f.skippable) {
+            if (f.offset == 0L) { // the dictionary frame (utils.go:42-73)
+              dict = graft.sources.WarcIO.readZstdDictionaryFrame(
+                new java.io.ByteArrayInputStream(f.bytes))
+            }
+            if (pending.isEmpty) lastValidEnd = f.offset + f.size
+          } else {
+            if (dctx == null) {
+              dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+              if (dict != null && dict.nonEmpty) dctx.loadDict(dict)
+            }
+            // stream-decompress (frames need not pledge content size)
+            val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+              new java.io.ByteArrayInputStream(f.bytes))
+            if (dict != null && dict.nonEmpty) z.setDict(dict)
+            val dec = try z.readAllBytes() finally z.close()
+            pending = if (pending.isEmpty) dec else pending ++ dec
+            // parse complete records off the pending buffer; EOF mid-record
+            // means the record continues in the NEXT frame (stay pending),
+            // malformation aborts the scan at the previous cut
+            val pin = new java.io.ByteArrayInputStream(pending)
+            var good = 0
+            var more = true
+            while (more) {
+              try {
+                more = skipOneStream(pin)
+                if (more) { records += 1; good = pending.length - pin.available() }
+              } catch { case _: EOFException => more = false }
+            }
+            pending = java.util.Arrays.copyOfRange(pending, good, pending.length)
+            if (pending.isEmpty) lastValidEnd = f.offset + f.size
+          }
+        }
+        if (pending.nonEmpty && err == null)
+          err = s"trailing partial record (${pending.length} decompressed bytes)"
+      } catch { case e: Exception => err = e.getMessage }
+    } finally {
+      in.close()
+      if (dctx != null) dctx.close()
+    }
+    val truncated = size - lastValidEnd
+    if (err != null && lastValidEnd > 0 && truncated > 0) {
+      val raf = new RandomAccessFile(path.toFile, "rw")
+      try raf.setLength(lastValidEnd) finally raf.close()
+    }
+    val renamed =
+      if (pathStr.endsWith(".open") && (err == null || lastValidEnd > 0)) {
+        Files.move(path, path.resolveSibling(path.getFileName.toString.stripSuffix(".open")))
+        true
+      } else false
+    val finalData =
+      if (renamed) path.resolveSibling(path.getFileName.toString.stripSuffix(".open")) else path
+    for (idx <- Seq(Paths.get(pathStr + ".idx"),
+                    Paths.get(pathStr.stripSuffix(".open") + ".idx"))
+           .distinct.filter(Files.exists(_))) {
+      if (err != null && lastValidEnd == 0) Files.delete(idx)
+      else {
+        val iin = Files.newInputStream(idx)
+        val entries = try graft.sources.WarcIO.readMemberIndex(iin) finally iin.close()
+        val kept = entries.filter { case (o, s) => o + s <= lastValidEnd }
+        Files.delete(idx)
+        val out = Files.newOutputStream(Paths.get(finalData.toString + ".idx"))
+        try graft.sources.WarcIO.writeMemberIndex(out, kept) finally out.close()
+      }
+    }
+    MendResult(pathStr, records, lastValidEnd,
+      if (err != null) truncated else 0L, renamed, err)
+  }
+
+  /** Mend one WARC file in place (plain: exact byte offsets; gzip/zstd:
+    * exact member/frame offsets via the respective framing walkers). */
   def mendFile(pathStr: String): MendResult = {
     val path = Paths.get(pathStr)
     if (pathStr.endsWith(".gz") || pathStr.endsWith(".gz.open"))
       return mendGzipFile(pathStr)
+    if (pathStr.endsWith(".zst") || pathStr.endsWith(".zst.open"))
+      return mendZstdFile(pathStr)
     val size = Files.size(path)
     val raf = new RandomAccessFile(path.toFile, "rw")
     var records = 0L
@@ -237,7 +328,8 @@ object Mend {
     val files =
       try listing.iterator().asScala.map(_.toString)
         .filter(f => f.endsWith(".warc") || f.endsWith(".warc.open") ||
-          f.endsWith(".warc.gz") || f.endsWith(".warc.gz.open")).toSeq.sorted
+          f.endsWith(".warc.gz") || f.endsWith(".warc.gz.open") ||
+          f.endsWith(".warc.zst") || f.endsWith(".warc.zst.open")).toSeq.sorted
       finally listing.close()
     spark.sparkContext.parallelize(files, math.max(1, files.size))
       .map(mendFile).toDF()

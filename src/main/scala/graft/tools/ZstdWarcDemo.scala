@@ -38,6 +38,21 @@ object ZstdWarcDemo {
     println("split equals whole: " +
       (split.orderBy("record_ordinal").select("record_id", "content").collect()
         .sameElements(whole.orderBy("record_ordinal").select("record_id", "content").collect())))
+
+    // crash-recovery: chop the tail mid-frame, mend, rescan survivors
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".warc.zst")).get
+    val bytes = Files.readAllBytes(f.toPath)
+    val open = f.toPath.resolveSibling(f.getName + ".open")
+    Files.write(open, java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 37))
+    Files.delete(f.toPath)
+    Files.delete(f.toPath.resolveSibling(f.getName + ".idx"))
+    val m = graft.jobs.Mend.mendFile(open.toString)
+    println(s"mend: records=${m.validRecords} kept=${m.keptBytes} " +
+      s"truncated=${m.truncatedBytes} renamed=${m.renamed} error=${m.error}")
+    val idx = graft.jobs.IndexWarc.indexAll(spark, dir).collect()
+    println(s"reindex: members=${idx.head.getAs[Long]("members")}")
+    val mended = spark.read.format(fmt).option("maxPartitionBytes", "4096").load(dir)
+    println(s"mended scan: records=${mended.count()} partitions=${mended.rdd.getNumPartitions}")
     spark.stop()
   }
 }

@@ -138,6 +138,60 @@ class ZstdWarcSpec extends SparkSpec {
     assert(c.map(_.getString(0)).toSet === Set("foreign-7"))
   }
 
+  test("zstd mend: chopped mid-frame .open truncates at last valid frame; survivors scan") {
+    val dir = Files.createTempDirectory("warczmend").toString
+    WarcSink.write(sampleRows(40).coalesce(1), dir, maxRecordsPerFile = 1000,
+      compression = "zstd", zstdDict = Dict)
+    val zst = new java.io.File(dir).list().filter(_.endsWith(".warc.zst")).head
+    val path = Paths.get(dir, zst)
+    val idxIn = Files.newInputStream(Paths.get(dir, zst + ".idx"))
+    val members = try WarcIO.readMemberIndex(idxIn) finally idxIn.close()
+    // simulate a crash: lose the tail of the LAST frame, restore .open suffix
+    val cutAt = members.last._1 + members.last._2 / 2
+    val bytes = Files.readAllBytes(path)
+    val openPath = Paths.get(dir, zst + ".open")
+    Files.write(openPath, java.util.Arrays.copyOfRange(bytes, 0, cutAt.toInt))
+    Files.delete(path)
+    Files.move(Paths.get(dir, zst + ".idx"), Paths.get(dir, zst + ".open.idx"))
+
+    val r = graft.jobs.Mend.mendFile(openPath.toString)
+    assert(r.error != null, "a chopped frame must be reported")
+    assert(r.keptBytes === members.init.last._1 + members.init.last._2)
+    assert(r.truncatedBytes === cutAt - r.keptBytes)
+    assert(r.renamed)
+    assert(r.validRecords === 40L) // 39 records + 1 warcinfo survive
+
+    // survivors (including the sidecar refresh) scan cleanly, dict intact
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.count() === 40)
+    assert(back.filter(col("warc_type") =!= "warcinfo").count() === 39)
+  }
+
+  test("IndexWarc indexes a foreign index-less .warc.zst; splits match unsplit scan") {
+    val dir = Files.createTempDirectory("warczforeign").toString
+    WarcSink.write(sampleRows(120).coalesce(1), dir, maxRecordsPerFile = 1000,
+      compression = "zstd", zstdDict = Dict)
+    val zst = new java.io.File(dir).list().filter(_.endsWith(".warc.zst")).head
+    val sidecarIn = Files.newInputStream(Paths.get(dir, zst + ".idx"))
+    val sinkIdx = try WarcIO.readMemberIndex(sidecarIn) finally sidecarIn.close()
+    Files.delete(Paths.get(dir, zst + ".idx")) // make it "foreign"
+    val unsplit = spark.read.format(Fmt).option("maxPartitionBytes", "2048").load(dir)
+    assert(unsplit.rdd.getNumPartitions === 1)
+    val baseline = unsplit.orderBy("record_ordinal").collect()
+
+    val report = graft.jobs.IndexWarc.indexAll(spark, dir).collect()
+    assert(report.length === 1 && report.head.getAs[Boolean]("built"))
+    assert(report.head.getAs[Long]("members") === 121)
+    // the rebuilt index reproduces the sink's own coordinates exactly
+    // (dictionary skippable frame excluded on both sides)
+    val rebuiltIn = Files.newInputStream(Paths.get(dir, zst + ".idx"))
+    val rebuilt = try WarcIO.readMemberIndex(rebuiltIn) finally rebuiltIn.close()
+    assert(rebuilt === sinkIdx)
+    val split = spark.read.format(Fmt).option("maxPartitionBytes", "2048").load(dir)
+    assert(split.rdd.getNumPartitions > 4)
+    assert(split.orderBy("record_ordinal").collect() === baseline)
+  }
+
   test("zstd compresses the dictionary-friendly corpus tighter with the dict") {
     // sanity that the dictionary actually participates: highly-templated
     // records must shrink when every frame references the shared dict
