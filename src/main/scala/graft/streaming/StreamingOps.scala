@@ -143,6 +143,34 @@ object StreamingOps {
   }
 
   /**
+   * Streaming WARC sink: `writeStream.foreachBatch` -> the rotating WARC
+   * sink, one deterministic file set per micro-batch. The reference's writer
+   * pool consumes a live channel (warc.go:149-256); here each micro-batch is
+   * a closed channel drain. Batch identity rides the file PREFIX
+   * (`<prefix>-b<batchId>`), so names never collide across batches and a
+   * REPLAYED batch (failure recovery) rewrites exactly its own files —
+   * rename-over-existing makes the sink idempotent per batch, giving
+   * end-to-end exactly-once file sets on top of the engine's at-least-once
+   * replay.
+   *
+   * `records` must carry the sink row shape (version, headers, content) —
+   * use [[graft.sources.WarcSink.toRecordColumns]] upstream. Start with
+   * `.start()` / await on the returned query builder.
+   */
+  def warcFileSink(records: DataFrame, dir: String, prefix: String = "GRAFT",
+                   compression: String = "gzip", tsCompact: String = "20231114221320000",
+                   maxRecordsPerFile: Int = 100000, host: String = "stream")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    records.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.WarcSink.write(batch.toDF(), dir,
+          prefix = s"$prefix-b$batchId", tsCompact = tsCompact,
+          compression = compression, maxRecordsPerFile = maxRecordsPerFile,
+          host = host)
+      }
+
+  /**
    * Streaming URL-seen: `mapGroupsWithState` keyed by url_key emitting each
    * key exactly once (its first sighting) — the frontier's NOT-EXISTS as
    * streaming state. Duplicate sightings update a counter but emit nothing

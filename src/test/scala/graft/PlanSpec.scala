@@ -40,25 +40,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q15: the seen-set prefilter probes the shard filter blob before any join") {
-    // materializeProbe=false keeps the probe visible in the logical plan (the
-    // production path checkpoints the probed slice so it computes ONCE —
-    // asserted by the LogicalRDD boundary check below)
+    // default = recompute (no checkpoint boundary): the probe expression and
+    // BOTH union branches stay visible in one declarative plan — Catalyst
+    // broadcasts the blob table and the whole pre-split chain is map-side
+    val plan = planOf("q15_seen_antijoin")
+    assert(plan.contains("might_contain_blob"), plan.take(1200))
+    // opt-in materialization puts a checkpoint (LogicalRDD) boundary in
     import org.apache.spark.sql.functions._
     import graft.seen.SeenSetOps
     val d = spark.read.parquet(s"$dir/documents.parquet").withColumn("url_key", md5(col("text")))
     val seen = d.filter(col("doc_id") % 3 === 0).select("url_key")
     val filters = SeenSetOps.buildFilterTable(seen, "url_key", numShards = 4,
       blocksPerShard = 64, cuckooBucketsPerShard = 1 << 12)
-    val pure = SeenSetOps.notSeen(d, "url_key", Some(filters), seen,
-      materializeProbe = false)
-    val plan = pure.queryExecution.optimizedPlan.toString
-    assert(plan.contains("might_contain_blob"), plan.take(1200))
-
-    // the production (materialized) form evaluates the candidate+probe chain
-    // once: both union branches read the same checkpointed LogicalRDD
-    val prod = SparkEntry.queries("q15_seen_antijoin")(spark, dir)
-    val prodPlan = prod.queryExecution.optimizedPlan.toString
-    assert(prodPlan.contains("LogicalRDD"), prodPlan.take(1200))
+    val mat = SeenSetOps.notSeen(d, "url_key", Some(filters), seen,
+      materializeProbe = true)
+    assert(mat.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
   }
 
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {

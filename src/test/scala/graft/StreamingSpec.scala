@@ -92,6 +92,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WARC sink: per-batch file sets, all records scan back") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("warcstream").toString
+    val input = MemoryStream[(String, String)] // (record_id_seed, payload)
+    val records = input.toDF().toDF("rid", "payload").select(
+      org.apache.spark.sql.functions.lit("WARC/1.1").as("version"),
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("WARC-Record-ID"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("<urn:uuid:s"),
+          org.apache.spark.sql.functions.col("rid"),
+          org.apache.spark.sql.functions.lit(">")),
+        org.apache.spark.sql.functions.lit("WARC-Type"),
+        org.apache.spark.sql.functions.lit("resource")).as("headers"),
+      org.apache.spark.sql.functions.col("payload").as("content"))
+    val q = StreamingOps.warcFileSink(records, dir, compression = "gzip").start()
+    try {
+      input.addData(("1", "pay-1"), ("2", "pay-2"))
+      q.processAllAvailable()
+      input.addData(("3", "pay-3"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val files = new java.io.File(dir).list().filter(_.endsWith(".warc.gz"))
+    // one file set per micro-batch, batch id in the prefix
+    assert(files.exists(_.startsWith("GRAFT-b0-")) && files.exists(_.startsWith("GRAFT-b1-")),
+      files.mkString(","))
+    val back = spark.read.format("graft.sources.WarcDataSource").load(dir)
+    import org.apache.spark.sql.functions.col
+    assert(back.filter(col("warc_type") === "resource").count() === 3)
+    assert(back.filter(col("warc_type") === "warcinfo").count() === files.length)
+    val payloads = back.filter(col("warc_type") === "resource")
+      .select(col("content").cast("string")).as[String].collect().toSet
+    assert(payloads === Set("pay-1", "pay-2", "pay-3"))
+  }
+
   test("watermarked windowed fetch metrics aggregate counts and bytes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

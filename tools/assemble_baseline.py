@@ -27,21 +27,23 @@ for a, b in zip(rows, rows[1:]):
         f"| {a['level']} -> {b['level']} | {thr_b / thr_a:.2f}x (of {ratio:.0f}x cores) | **{eff:.3f}** |")
 pair_rows = "\n".join(pair_rows)
 
-r1_walls = {2: 276.6, 8: 88.1, 32: 58.4}  # round-1 final, same workload+protocol
+# prior-round finals, same workload + protocol (round 1; round 2)
+r1_walls = {2: 276.6, 8: 88.1, 32: 58.4}
+r2_walls = {2: 172.1, 8: 61.3, 32: 48.5}
 round_over_round = ""
 if [r["level"] for r in rows] == sorted(r1_walls):
     rr = "\n".join(
-        f"| {r['level']} | {r1_walls[r['level']]} | {r['secs']:.1f} | "
-        f"{r1_walls[r['level']] / r['secs']:.2f}x |" for r in rows)
+        f"| {r['level']} | {r1_walls[r['level']]} | {r2_walls[r['level']]} | {r['secs']:.1f} | "
+        f"{r2_walls[r['level']] / r['secs']:.2f}x |" for r in rows)
     round_over_round = f"""
 ## Round-over-round (same workload, same protocol)
 
-| Cores | round 1 wall (s) | round 2 wall (s) | speedup |
-| --- | --- | --- | --- |
+| Cores | round 1 wall (s) | round 2 wall (s) | round 3 wall (s) | r2 -> r3 speedup |
+| --- | --- | --- | --- | --- |
 {rr}
 """
 
-md = f"""# BENCH — two-cluster-size scaling evidence (round 2, pinned protocol)
+md = f"""# BENCH — two-cluster-size scaling evidence (round 3, pinned protocol)
 
 Metric (BASELINE.json): **frontier throughput = URLs scheduled+deduped/sec**,
 scaling efficiency >= 0.8 from N to 4N executors. No real cluster exists in
@@ -77,11 +79,12 @@ IDENTICAL input at pinned core counts, per the round-1 protocol:
 {pair_rows}
 
 {round_over_round}
-Round-2 changes behind the speedup: shard-local filter lifecycle (the
-driver-side filter collect/merge/per-task-binary shipping is gone), de-skewed
-digest window (eligible slice only), two-phase global cap, cuckoo shards
-off the scheduling path (nothing probes them), eliminated cosine/HOF
-recomputes.
+Round-3 changes behind the speedup: single-scan `notSeen` (the probed
+candidate slice is materialized once per round via a lazy localCheckpoint
+instead of the definite-miss/maybe-seen split re-evaluating the whole
+canonicalize + robots + probe chain twice), fingerprint-keyed exact-dup
+pre-pass in LSH (16-byte md5 shuffle keys instead of whole documents), and
+the round-2 fixes carried forward.
 
 ## Why the 8 -> 32 pair underperforms here and would not on a real cluster
 
@@ -107,7 +110,7 @@ The reference publishes no throughput numbers (benchmark harnesses only,
 read_test.go:493, client_test.go:1891-2135). Single-node absolute:
 **{urls / rows[-1]['secs']:,.0f} URLs scheduled+deduped/sec** at {rows[-1]['level']} cores — full
 dedup-tier joins, digesting, revisit construction, politeness scheduling —
-vs 22,802/s in round 1.
+vs 22,802/s in round 1 and 27,478/s in round 2.
 
 ## 10^10-URL design point (architectural, not materialized locally)
 
