@@ -532,6 +532,21 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.WarcDigest.warc_blake3(col("text")).as("digest"))
         .orderBy("doc_id")
+    }),
+
+    "q48_dedup_clusters" -> ((s, dir) => {
+      // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
+      // group — the multi-hop stress shape; a clique would converge in one
+      // step) -> connected components -> (doc, canonical representative)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 30)).as("digest"))
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      val pairs = d.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      DedupOps.connectedComponents(pairs)
+        .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -889,6 +904,23 @@ object SparkEntry {
         |            WHEN doc_id % 3 = 1 THEN 'bare-' || doc_id || '.bin'
         |            ELSE 'fallback-' || doc_id || '.html' END AS filename
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE
+        |  d AS (SELECT doc_id, md5(substring(text, 1, 30)) AS digest FROM documents),
+        |  chain AS (
+        |    SELECT lag(doc_id) OVER (PARTITION BY digest ORDER BY doc_id) AS id_a,
+        |           doc_id AS id_b
+        |    FROM d),
+        |  pairs AS (SELECT id_a, id_b FROM chain WHERE id_a IS NOT NULL),
+        |  edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |            UNION SELECT id_b, id_a FROM pairs),
+        |  reach(u, v) AS (
+        |    SELECT u, u FROM edges
+        |    UNION
+        |    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "q44_sanitize_names" ->
       """WITH r AS (

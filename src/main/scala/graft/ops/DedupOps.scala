@@ -263,6 +263,72 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---------------- cluster resolution ----------------
+
+  /**
+   * Connected components over a near-dup pair graph: every vertex labeled
+   * with the MINIMUM id reachable from it (the canonical cluster
+   * representative) — the step that turns pairwise `*Pairs` output into
+   * dedup clusters a pipeline can act on (keep the representative, drop or
+   * revisit the rest).
+   *
+   * Algorithm: min-label propagation with POINTER JUMPING — each iteration
+   * first propagates labels across edges, then collapses label chains by
+   * one hop (`label <- label(label)`), so convergence is O(log diameter)
+   * iterations, not O(diameter) (the Kiveris et al. "Connected Components
+   * in MapReduce and Beyond" two-phase idea, simplified for the shallow
+   * clusters near-dup graphs produce).
+   *
+   * Scale notes: every iteration shuffles only (id, label) pairs — two
+   * numeric columns, never document payloads. Each iteration's result is
+   * EAGERLY localCheckpoint'ed: iterative plans otherwise nest the whole
+   * lineage (Catalyst re-analyzes a plan that doubles per round — the
+   * classic iterative-join trap); checkpointing a NARROW two-column frame
+   * is exactly the case where materialization beats recompute (contrast
+   * `SeenSetOps.notSeen`, where checkpointing the WIDE probed slice was
+   * measured 41-78% slower than branch recompute).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true) // edges are reused every iteration
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // (1) propagate: every vertex takes the min of its own and its
+      // neighbors' labels (map-side partial min before the shuffle)
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("nid"), col("label").as("nlabel"))
+        .groupBy("nid").agg(min("nlabel").as("nbr"))
+      val propagated = labels
+        .join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // (2) pointer-jump: label <- label(label), halving chain depth
+      // (self-join of the CHECKPOINTED frame: fixed attributes, no
+      // ambiguous-lineage analysis trap)
+      val next = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i). */

@@ -30,6 +30,40 @@ class DedupOpsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("connected components match union-find on a seeded random graph + long chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val randomEdges = (0 until 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    // a 64-node chain: stresses multi-hop label propagation (pointer jumping
+    // must collapse it in O(log n) iterations, not 64)
+    val chainEdges = (1000L until 1063L).map(i => (i, i + 1))
+    val edges = randomEdges ++ chainEdges
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical representative = min id in component
+    val minOf = verts.groupBy(find).map { case (root, vs) => root -> vs.min }
+    val expected = verts.map(v => v -> minOf(find(v))).toMap
+
+    assert(got.keySet === expected.keySet)
+    assert(got === expected)
+    // every chain node resolves to the chain head
+    assert((1000L to 1063L).forall(got(_) === 1000L))
+  }
+
   test("ngram jaccard exact mode (maxDocFreq<=0) matches brute force") {
     import spark.implicits._
     val docs = Seq(
