@@ -128,16 +128,22 @@ object DedupOps {
         .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
           i => col("norm").substr(i + 1, lit(k)))).as("shingles"))
     val withSig = withShingles
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("sig", graft.functions.SketchExprs.minhash_sig(col("shingles"), numHashes))
 
     // band rows carry (band, key, id) ONLY — shipping the shingle arrays
     // through an 8-way explode + self-join would multiply shuffle volume by
-    // 2 * bands * |shingles|; arrays are joined back once per verified pair
+    // 2 * bands * |shingles|; arrays are joined back once per verified pair.
+    // The explicit repartition on the JOIN keys makes both self-join sides
+    // share ONE exchange (ReuseExchange): the minhash signature pipeline —
+    // the dominant CPU of this operator (measured 6.3 s of q23's 13.9 s at
+    // sf0.1, x2 without the reuse) — computes once, and the join's required
+    // distribution is already satisfied.
     val banded = withSig.select(
       col("id"),
       posexplode(array((0 until bandsCount).map(b =>
         xxhash64(lit("band"), lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .repartition(col("band"), col("band_key"))
 
     val left = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
@@ -189,8 +195,7 @@ object DedupOps {
                    maxHamming: Int = 3): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("id"), simhashVotes(col("th")).as("votes"))
-      .withColumn("simhash", simhashFromVotes(col("votes")))
+      .select(col("id"), graft.functions.SketchExprs.simhash64_from_hashes(col("th")).as("simhash"))
     val banded = withSim.select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band"), col("b.value"))
     val l = banded.select(col("band"), col("value"), col("id").as("id_a"), col("simhash").as("sim_a"))
@@ -225,17 +230,24 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 100): DataFrame = {
-    val grams = df.select(col(idCol).as("id"), array_distinct(TextOps.wordNgrams(col(textCol), n)).as("grams"))
-    // candidate generation runs entirely over 64-bit gram HASHES: the
-    // df-count groupBy and the candidate self-join shuffle 8-byte keys
-    // instead of gram strings (a word-bigram averages ~15 bytes + UTF8
-    // overhead; the exploded table is by far the largest shuffle of this
-    // op). A 64-bit collision can only merge two grams' df counts or emit a
-    // spurious candidate — which exact verification then scores truthfully —
-    // at ~1e-19 per gram pair, the same negligible-collision argument the
-    // hashed verification below already rests on.
-    val exploded = grams.select(col("id"), explode(col("grams")).as("g0"))
-      .select(col("id"), xxhash64(col("g0")).as("g"))
+    // tokens staged as an ATTRIBUTE, then grams as per-slice 64-bit hashes:
+    // the naive wordNgrams-then-hash form re-ran the regex tokenizer per
+    // gram (the Catalyst repeated-subexpression trap — measured 10.2 s for
+    // ONE sf0.1 pass that takes ~1 s staged, and this projection evaluates
+    // in several plan branches). No gram string is ever built; everything
+    // downstream — df counts, the candidate self-join, verification —
+    // shuffles 8-byte hashes. A 64-bit collision can only merge two grams'
+    // df counts or emit a spurious candidate — which exact verification
+    // then scores truthfully — at ~1e-19 per gram pair.
+    // NOTE the explode is INLINE over the gram expression, not over a named
+    // array attribute from an intermediate projection: Generate(explode)
+    // over a pre-projected array column measured 6x slower (4.3 s vs 0.7 s
+    // warm at sf0.1 — the generator path re-materializes the array per
+    // output row), while the inline form fuses generation into the
+    // generator input.
+    val staged = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    val gramsExpr = array_distinct(TextOps.wordNgramHashesFromTokens(col("toks"), n))
+    val exploded = staged.select(col("id"), explode(gramsExpr).as("g"))
     val dfCap = if (maxDocFreq <= 0) Long.MaxValue else maxDocFreq
     val rare = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap && col("df") >= 2)
@@ -250,8 +262,7 @@ object DedupOps {
     // |∩| and |∪| equal the string-set values (64-bit collisions within
     // ~100-gram documents are ~1e-16 per pair), so the exact-Jaccard
     // semantics — and the DuckDB oracle — are preserved
-    val hashed = grams.select(col("id"),
-      array_sort(transform(col("grams"), g => xxhash64(g))).as("hg"))
+    val hashed = staged.select(col("id"), array_sort(gramsExpr).as("hg"))
     val gA = hashed.select(col("id").as("id_a"), col("hg").as("g_a"))
     val gB = hashed.select(col("id").as("id_b"), col("hg").as("g_b"))
     val inter = graft.functions.ArraySetOps

@@ -101,11 +101,29 @@ object TextOps {
       transform(sequence(lit(0), length(norm) - k), i => norm.substr(i + 1, lit(k))))
   }
 
-  /** Word n-grams as strings. */
+  /** Word n-grams as strings.
+    *
+    * PERFORMANCE TRAP: `tokens(text)` appears in the sequence bound AND
+    * inside the transform lambda's slice — Catalyst re-evaluates a
+    * non-attribute subexpression at every reference, so the regex split can
+    * run O(grams) times per document (measured 10 s for a pass that takes
+    * ~1 s staged). Callers on a hot path should stage the token array as an
+    * attribute and use [[wordNgramHashesFromTokens]]. */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array(concat_ws(" ", t))).otherwise(
       transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
   }
+
+  /** 64-bit n-gram hashes from an ALREADY-STAGED token-array attribute:
+    * `xxhash64` of each n-token slice — no gram string is ever built, and
+    * because `toks` is an attribute the tokenization cost is paid once per
+    * row, not once per gram. Gram identity matches the string form
+    * (per-element hashing even avoids the "a b"+"c" vs "a"+"b c" join
+    * ambiguity of concatenated grams). */
+  def wordNgramHashesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(xxhash64(toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(slice(toks, i + 1, lit(n)))))
 }

@@ -30,6 +30,31 @@ class DedupOpsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("sketch kernels are bit-identical to the HOF folds they replace") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(120)).map(_ => rnd.nextPrintableChar()).mkString)
+    }.toDF("id", "text")
+    val k = 5
+    val staged = docs.select(col("id"),
+      when(length(col("text")) < k, array(col("text")))
+        .otherwise(transform(sequence(lit(0), length(col("text")) - k),
+          i => col("text").substr(i + 1, lit(k)))).as("shingles"),
+      graft.ops.TextOps.tokens(col("text")).as("toks"))
+      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+    val cmp = staged.select(
+      DedupOps.minhashSignature(col("shingles"), 32).as("hof_sig"),
+      graft.functions.SketchExprs.minhash_sig(col("shingles"), 32).as("krn_sig"),
+      DedupOps.simhashFromVotes(DedupOps.simhashVotes(col("th"))).as("hof_sim"),
+      graft.functions.SketchExprs.simhash64_from_hashes(col("th")).as("krn_sim"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("connected components match union-find on a seeded random graph + long chain") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
