@@ -198,6 +198,9 @@ object DedupOps {
       .select(col("id"), graft.functions.SketchExprs.simhash64_from_hashes(col("th")).as("simhash"))
     val banded = withSim.select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band"), col("b.value"))
+      // both self-join sides share ONE exchange (ReuseExchange): the
+      // simhash pipeline computes once and the join's distribution is met
+      .repartition(col("band"), col("value"))
     val l = banded.select(col("band"), col("value"), col("id").as("id_a"), col("simhash").as("sim_a"))
     val r = banded.select(col("band"), col("value"), col("id").as("id_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("band", "value"))
@@ -247,7 +250,11 @@ object DedupOps {
     // generator input.
     val staged = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
     val gramsExpr = array_distinct(TextOps.wordNgramHashesFromTokens(col("toks"), n))
+    // repartition on the gram hash: the df-count aggregate, the rare
+    // semi-join, and the candidate self-join all consume hashpartitioning(g)
+    // from ONE exchange (ReuseExchange) instead of re-tokenizing per branch
     val exploded = staged.select(col("id"), explode(gramsExpr).as("g"))
+      .repartition(col("g"))
     val dfCap = if (maxDocFreq <= 0) Long.MaxValue else maxDocFreq
     val rare = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap && col("df") >= 2)
@@ -386,6 +393,9 @@ object DedupOps {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", vecNorm(col("v")))
       .withColumn("bucket", xxhash64(concat_ws(",", hyperplaneSignature(col("v"), numPlanes))))
+      // shared exchange: the hyperplane-signature pipeline (numPlanes x dim
+      // hash folds per vector) computes once for both self-join sides
+      .repartition(col("bucket"))
     val l = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val r = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
