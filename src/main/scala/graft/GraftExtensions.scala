@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{SortedIntersectCount, UrlCanonicalize, WarcDigest}
+import graft.functions.{MinHashSig, SimHash64FromHashes, SortedIntersectCount, UrlCanonicalize, WarcDigest}
 
 /**
  * `SparkSessionExtensions` registration (SURVEY §7.4, the extension-injection
@@ -24,6 +24,8 @@ import graft.functions.{SortedIntersectCount, UrlCanonicalize, WarcDigest}
  *  - warc_sha1_b32(col)                    shorthand for the WARC default
  *  - sorted_intersect_count(a, b)          merge-walk |a ∩ b| of sorted
  *                                          long arrays (dedup verification)
+ *  - minhash_sig(shingles, n)              n-slot MinHash signature
+ *  - simhash64(hashes)                     64-bit SimHash of hashed tokens
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,5 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "sorted_intersect_count",
       "sorted_intersect_count(a, b) - |a ∩ b| of two sorted bigint arrays", 2,
       args => SortedIntersectCount(args(0), args(1)))
+    register(ext, "minhash_sig",
+      "minhash_sig(shingles, n) - n-slot MinHash signature of a string array " +
+        "(xxhash64 chain, bit-compatible with the DedupOps HOF form)", 2,
+      args => args(1) match {
+        case Literal(n: Integer, _) => MinHashSig(args.head, n.intValue)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig n must be an integer literal, got $other")
+      })
+    register(ext, "simhash64",
+      "simhash64(hashes) - 64-bit SimHash of an array<bigint> of token hashes", 1,
+      args => SimHash64FromHashes(args.head))
   }
 }

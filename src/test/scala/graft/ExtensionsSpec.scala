@@ -22,6 +22,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(4) === 2)
   }
 
+  test("sketch kernels are callable from SQL and match the Scala API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq("the quick brown fox", "jumps over the lazy dog").toDF("s")
+      .createOrReplaceTempView("t_sketch")
+    val viaSql = spark.sql(
+      """SELECT minhash_sig(array(s, 'x'), 8) AS sig,
+        |       simhash64(transform(split(s, ' '), t -> xxhash64(t))) AS sh
+        |FROM t_sketch ORDER BY s""".stripMargin).collect()
+    val viaApi = spark.table("t_sketch")
+      .select(graft.functions.SketchExprs.minhash_sig(array(col("s"), lit("x")), 8).as("sig"),
+        graft.functions.SketchExprs.simhash64_from_hashes(
+          transform(split(col("s"), " "), t => xxhash64(t))).as("sh"))
+      .orderBy("s").collect()
+    assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
+  }
+
   test("warc_digest rejects a non-literal algo (plan-time constant, like the reference enum)") {
     val e = intercept[Exception] {
       spark.sql("SELECT warc_digest('x', lower('SHA1'))").collect()
