@@ -92,8 +92,8 @@ class WarcTable(path: String, maxPartitionBytes: Long,
   override def name(): String = s"warc($path)"
   override def schema(): StructType = schemaOverride.getOrElse(WarcTable.Schema)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(if (path != null) path else options.get("path"),
       options.getLong("maxPartitionBytes", maxPartitionBytes))
@@ -128,34 +128,41 @@ class WarcScanBuilder(path: String, maxPartitionBytes: Long) extends ScanBuilder
 object WarcScan {
   val FilterableCols: Set[String] = Set("warc_type", "target_uri", "record_id")
   val DefaultSplit: Long = 128L * 1024 * 1024
-}
 
-class WarcScan(path: String, required: StructType, filters: Array[Filter],
-               maxPartitionBytes: Long)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"WarcScan(path=$path, columns=${required.fieldNames.mkString(",")}, " +
-      s"pushed=[${filters.mkString(",")}])"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val root = new HPath(path)
-    val fs = root.getFileSystem(conf)
-    val files: Seq[FileStatus] =
-      if (fs.getFileStatus(root).isDirectory) {
-        val it = fs.listFiles(root, true) // recursive: archives nest by date/host
-        val buf = scala.collection.mutable.Buffer[FileStatus]()
-        while (it.hasNext) {
-          val st = it.next()
+  /** Recursive WARC-file listing (archives nest by date/host); `.open`
+    * in-progress files are naturally excluded by the extension filter.
+    *
+    * Uses per-directory `listStatus` rather than `listFiles(recursive)`:
+    * the latter materializes LocatedFileStatus EAGERLY (on local FS that
+    * shells out for permissions), so a sink renaming its `.open` file away
+    * mid-iteration crashes the listing — the streaming source lists
+    * CONCURRENTLY with active writers by design. A directory vanishing
+    * mid-walk is likewise tolerated. */
+  def listWarcFiles(fs: FileSystem, root: HPath): Seq[FileStatus] = {
+    val rootSt = fs.getFileStatus(root)
+    if (!rootSt.isDirectory) return Seq(rootSt)
+    val buf = scala.collection.mutable.Buffer[FileStatus]()
+    def walk(dir: HPath): Unit = {
+      val entries =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+      entries.foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else {
           val n = st.getPath.getName
           if (n.endsWith(".warc") || n.endsWith(".warc.gz") || n.endsWith(".warc.zst") ||
             n.endsWith(".warc.bz2") || n.endsWith(".warc.xz")) buf += st
         }
-        buf.sortBy(_.getPath.toString).toSeq
-      } else Seq(fs.getFileStatus(root))
+      }
+    }
+    walk(root)
+    buf.sortBy(_.getPath.toString).toSeq
+  }
 
+  /** Per-file split planning: member-index files split into member-aligned
+    * ~maxPartitionBytes ranges; index-less files scan whole. */
+  def partitionsFor(fs: FileSystem, files: Seq[FileStatus],
+                    maxPartitionBytes: Long): Array[InputPartition] =
     files.flatMap { st =>
       val f = st.getPath
       val idxPath = new HPath(f.toString + ".idx")
@@ -188,11 +195,31 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
           Seq(WarcInputPartition(f.toString, 0L, st.getLen, 0L))
       }
     }.map(p => p: InputPartition).toArray
+}
+
+class WarcScan(path: String, required: StructType, filters: Array[Filter],
+               maxPartitionBytes: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WarcScan(path=$path, columns=${required.fieldNames.mkString(",")}, " +
+      s"pushed=[${filters.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    WarcScan.partitionsFor(fs, WarcScan.listWarcFiles(fs, root), maxPartitionBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, filters,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required, filters, maxPartitionBytes)
 }
 
 /** One scan task: a byte range of `file` beginning at a member boundary

@@ -34,6 +34,14 @@ object StreamingWarcDemo {
     println(s"records written+scanned: $n (files=${files.length})")
     println("distinct ids ok: " + (back.filter(col("warc_type") === "resource")
       .select("record_id").distinct().count() == n))
+
+    // streaming SOURCE: tail the same directory back as micro-batches
+    val src = spark.readStream.format("graft.sources.WarcDataSource").load(dir)
+      .filter(col("warc_type") === "resource")
+      .writeStream.format("memory").queryName("demo_src").start()
+    src.processAllAvailable()
+    src.stop()
+    println(s"streaming source read-back: ${spark.table("demo_src").count()}")
     spark.stop()
   }
 }

@@ -92,6 +92,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WARC source: new files become micro-batches exactly once") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warcsrcstream").toString
+    def mkRows(tag: String, n: Int) = spark.range(n).select(
+      lit("WARC/1.1").as("version"),
+      map(
+        lit("WARC-Record-ID"), concat(lit(s"<urn:uuid:$tag"), col("id").cast("string"), lit(">")),
+        lit("WARC-Type"), lit("resource")).as("headers"),
+      concat(lit(s"$tag-"), col("id").cast("string")).cast("string").as("content"))
+    // generation 1 lands before the stream starts
+    graft.sources.WarcSink.write(mkRows("g1", 30).coalesce(1), dir,
+      tsCompact = "20240101000000000")
+
+    val q = spark.readStream.format("graft.sources.WarcDataSource")
+      .option("maxPartitionBytes", "4096").load(dir)
+      .filter(col("warc_type") === "resource")
+      .select(col("record_id"), col("content").cast("string").as("content"))
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_out").count() === 30)
+      // generation 2 arrives mid-stream (distinct tsCompact: no name clash)
+      graft.sources.WarcSink.write(mkRows("g2", 20).coalesce(1), dir,
+        tsCompact = "20240101000100000")
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream_out")
+      assert(rows.count() === 50) // each file consumed exactly once
+      assert(rows.select("record_id").distinct().count() === 50)
+      // nothing new -> no duplicate re-reads
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_out").count() === 50)
+    } finally q.stop()
+  }
+
   test("streaming WARC sink: per-batch file sets, all records scan back") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
