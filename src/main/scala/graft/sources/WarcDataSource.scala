@@ -96,7 +96,8 @@ class WarcTable(path: String, maxPartitionBytes: Long,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(if (path != null) path else options.get("path"),
-      options.getLong("maxPartitionBytes", maxPartitionBytes))
+      options.getLong("maxPartitionBytes", maxPartitionBytes),
+      options.getLong("maxFileAgeMs", WarcMicroBatchStream.DefaultMaxFileAgeMs))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -104,7 +105,8 @@ class WarcTable(path: String, maxPartitionBytes: Long,
       if (path != null) path else info.options.get("path"), info)
 }
 
-class WarcScanBuilder(path: String, maxPartitionBytes: Long) extends ScanBuilder
+class WarcScanBuilder(path: String, maxPartitionBytes: Long,
+                      maxFileAgeMs: Long = WarcMicroBatchStream.DefaultMaxFileAgeMs) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WarcTable.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -122,7 +124,7 @@ class WarcScanBuilder(path: String, maxPartitionBytes: Long) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, pushed, maxPartitionBytes)
+  override def build(): Scan = new WarcScan(path, required, pushed, maxPartitionBytes, maxFileAgeMs)
 }
 
 object WarcScan {
@@ -198,7 +200,8 @@ object WarcScan {
 }
 
 class WarcScan(path: String, required: StructType, filters: Array[Filter],
-               maxPartitionBytes: Long)
+               maxPartitionBytes: Long,
+               maxFileAgeMs: Long = WarcMicroBatchStream.DefaultMaxFileAgeMs)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -219,7 +222,7 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, required, filters, maxPartitionBytes)
+    new WarcMicroBatchStream(path, required, filters, maxPartitionBytes, maxFileAgeMs)
 }
 
 /** One scan task: a byte range of `file` beginning at a member boundary

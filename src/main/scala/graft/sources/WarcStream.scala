@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -16,15 +17,19 @@ import org.apache.spark.sql.types.StructType
  * offset, split with the SAME member-index planning as the batch scan, so a
  * newly-landed 1 GB rotation fans out across the cluster immediately.
  *
- * Offsets carry the processed FILE SET (sorted, JSON) — the same
- * design point as Spark's own FileStreamSource seen-files map, so replaying
- * a batch after failure re-reads exactly its files. `.open` in-progress
- * files are invisible (extension filter), and the sink's atomic rename
- * guarantees a listed file is complete.
+ * Offsets carry the ELIGIBLE file set (sorted, JSON via json4s — the same
+ * serializer Spark's own source offsets use). Eligibility is bounded by
+ * `maxFileAgeMs` (default 7 days, Spark's FileStreamSource precedent): a
+ * file older than the age window is never processed and ages out of the
+ * offset, so the offset stays O(files-per-window) instead of growing for
+ * the stream's lifetime. `.open` in-progress files are invisible (extension
+ * filter), and the sink's atomic rename guarantees a listed file is
+ * complete.
  */
 class WarcMicroBatchStream(path: String, required: StructType,
-                           filters: Array[Filter], maxPartitionBytes: Long)
-    extends MicroBatchStream {
+                           filters: Array[Filter], maxPartitionBytes: Long,
+                           maxFileAgeMs: Long = WarcMicroBatchStream.DefaultMaxFileAgeMs)
+    extends MicroBatchStream with Logging {
 
   private val conf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
@@ -33,18 +38,29 @@ class WarcMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = WarcSourceOffset(Seq.empty)
 
-  override def latestOffset(): Offset =
-    WarcSourceOffset(
-      if (fs.exists(root)) WarcScan.listWarcFiles(fs, root).map(_.getPath.toString)
-      else Seq.empty)
+  override def latestOffset(): Offset = {
+    val cutoff = System.currentTimeMillis() - maxFileAgeMs
+    val listed =
+      try WarcScan.listWarcFiles(fs, root)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    WarcSourceOffset(listed
+      .filter(_.getModificationTime >= cutoff)
+      .map(_.getPath.toString))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[WarcSourceOffset].files.toSet
     val fresh = end.asInstanceOf[WarcSourceOffset].files.filterNot(seen)
     val f = fs
     val statuses = fresh.flatMap { p =>
-      val hp = new HPath(p)
-      if (f.exists(hp)) Some(f.getFileStatus(hp)) else None // vanished: skip
+      try Some(f.getFileStatus(new HPath(p)))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // the offset marks it consumed, so this is permanent: surface it
+          logWarning(s"WARC stream file vanished between listing and planning " +
+            s"(its records are LOST to this query): $p")
+          None
+      }
     }
     WarcScan.partitionsFor(f, statuses, maxPartitionBytes)
   }
@@ -57,36 +73,23 @@ class WarcMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-/** Offset = sorted set of fully-processed file paths. */
+object WarcMicroBatchStream {
+  /** FileStreamSource's default: files older than this are never processed
+    * and age out of the offset set. */
+  val DefaultMaxFileAgeMs: Long = 7L * 24 * 60 * 60 * 1000
+}
+
+/** Offset = sorted set of eligible (age-bounded) file paths. */
 case class WarcSourceOffset(files: Seq[String]) extends Offset {
   override def json(): String =
-    files.sorted.map(WarcSourceOffset.quote).mkString("""{"files":[""", ",", "]}")
+    org.json4s.jackson.Serialization.write(Map("files" -> files.sorted))(
+      org.json4s.DefaultFormats)
 }
 
 object WarcSourceOffset {
-  private[sources] def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
   def fromJson(json: String): WarcSourceOffset = {
-    // minimal parser for the exact shape json() writes
-    val body = json.trim.stripPrefix("""{"files":[""").stripSuffix("]}")
-    if (body.isEmpty) WarcSourceOffset(Seq.empty)
-    else {
-      val out = scala.collection.mutable.Buffer[String]()
-      val sb = new StringBuilder
-      var i = 0
-      var inStr = false
-      while (i < body.length) {
-        val c = body.charAt(i)
-        if (!inStr) { if (c == '"') inStr = true /* skip commas */ }
-        else c match {
-          case '\\' => sb.append(body.charAt(i + 1)); i += 1
-          case '"' => out += sb.toString; sb.clear(); inStr = false
-          case o => sb.append(o)
-        }
-        i += 1
-      }
-      WarcSourceOffset(out.toSeq)
-    }
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    WarcSourceOffset((parsed \ "files").extract[Seq[String]])
   }
 }
