@@ -157,14 +157,16 @@ object Scheduler {
         // the kept set is deterministic.
         budgeted.orderBy(capOrder: _*).limit(cfg.maxPerRound.toInt)
       else
-        // caps above Int.MaxValue can't ride .limit (Int argument); honor the
-        // Long cap exactly via the ranking-window path rather than silently
-        // clamping. Single-task sort is acceptable for this edge: a >2^31-row
-        // round would already be mis-sized upstream.
-        budgeted.withColumn("__round_seq", row_number().over(
-            Window.orderBy(capOrder: _*)))
-          .filter(col("__round_seq") <= cfg.maxPerRound)
-          .drop("__round_seq")
+        // caps above Int.MaxValue can't ride .limit (Int argument), and a
+        // ranking window would wrap its IntegerType counter past 2^31 rows —
+        // the only regime where such a cap could bite. Fail loudly instead
+        // of silently clamping or mis-capping (use Long.MaxValue, the
+        // default, for "uncapped").
+        throw new IllegalArgumentException(
+          s"maxPerRound=${cfg.maxPerRound} exceeds Int.MaxValue: per-round " +
+            "caps above 2^31-1 are not supported — size rounds below 2^31 " +
+            "rows (maxPerRound <= Int.MaxValue) or leave the cap at " +
+            "Long.MaxValue for uncapped")
 
     // politeness layout: one slot per host (keeps a host's fetches serial
     // within a task), deterministic slot salt per round

@@ -110,16 +110,12 @@ object IndexWarc {
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf.value)
-    val files = {
-      val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.Buffer[String]()
-      while (it.hasNext) {
-        val st = it.next()
-        val n = st.getPath.getName
-        if (n.endsWith(".warc.gz") || n.endsWith(".warc.zst")) buf += st.getPath.toString
-      }
-      buf.sorted.toSeq
-    }
+    // shared writer-tolerant listing (WarcScan.listWarcFiles: listStatus
+    // walk, no eager LocatedFileStatus), narrowed to the framed codecs
+    val files = graft.sources.WarcScan.listWarcFiles(fs, root)
+      .map(_.getPath.toString)
+      .filter(f => f.endsWith(".warc.gz") || f.endsWith(".warc.zst"))
+      .sorted
     val pending =
       if (overwrite) files
       else files.filterNot(f => fs.exists(new HPath(f + ".idx")))

@@ -158,7 +158,8 @@ object Mend {
           records += 1
           if (gz.atMemberBoundary) lastValidEnd = gz.lastMemberEndOffset
         }
-      } catch { case e: Exception => err = e.getMessage }
+      } catch { case e: Exception =>
+        err = Option(e.getMessage).getOrElse(e.getClass.getName) }
     } finally gz.close()
     val truncated = size - lastValidEnd
     if (err != null && lastValidEnd > 0 && truncated > 0) {
@@ -205,7 +206,6 @@ object Mend {
     var lastValidEnd = 0L
     var err: String = null
     var dict: Array[Byte] = null
-    var dctx: com.github.luben.zstd.ZstdDecompressCtx = null
     var pending = Array.emptyByteArray
     val in = new java.io.BufferedInputStream(Files.newInputStream(path), 1 << 16)
     try {
@@ -218,10 +218,6 @@ object Mend {
             }
             if (pending.isEmpty) lastValidEnd = f.offset + f.size
           } else {
-            if (dctx == null) {
-              dctx = new com.github.luben.zstd.ZstdDecompressCtx()
-              if (dict != null && dict.nonEmpty) dctx.loadDict(dict)
-            }
             // stream-decompress (frames need not pledge content size)
             val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
               new java.io.ByteArrayInputStream(f.bytes))
@@ -246,11 +242,9 @@ object Mend {
         }
         if (pending.nonEmpty && err == null)
           err = s"trailing partial record (${pending.length} decompressed bytes)"
-      } catch { case e: Exception => err = e.getMessage }
-    } finally {
-      in.close()
-      if (dctx != null) dctx.close()
-    }
+      } catch { case e: Exception =>
+        err = Option(e.getMessage).getOrElse(e.getClass.getName) }
+    } finally in.close()
     val truncated = size - lastValidEnd
     if (err != null && lastValidEnd > 0 && truncated > 0) {
       val raf = new RandomAccessFile(path.toFile, "rw")
@@ -298,7 +292,7 @@ object Mend {
       try {
         while (readOne(r)) { records += 1; lastValidEnd = r.pos }
       } catch {
-        case e: Exception => err = e.getMessage
+        case e: Exception => err = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       val truncated = size - lastValidEnd
       // Truncate only when at least one valid record exists (the reference's

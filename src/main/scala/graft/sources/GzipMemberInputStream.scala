@@ -137,7 +137,7 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
     if ((flg & 8) != 0) skipZeroTerminated() // FNAME
     if ((flg & 16) != 0) skipZeroTerminated() // FCOMMENT
     if ((flg & 2) != 0) { // FHCRC: CRC16 over the header bytes consumed above
-      fillIn(2)
+      if (!fillIn(2)) throw new EOFException("gzip header truncated in FHCRC field")
       val stored = u8(0) | (u8(1) << 8)
       val computed = (hcrc.getValue & 0xffffL).toInt
       if (stored != computed)

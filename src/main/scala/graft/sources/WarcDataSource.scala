@@ -270,8 +270,16 @@ class WarcPartitionReader(part: WarcInputPartition, required: StructType,
     * dictionary the range's frames were compressed against. */
   private def zstdDictFromHead(): Option[Array[Byte]] = {
     val head = new Array[Byte](4)
-    val n = stream.read(0L, head, 0, 4)
-    if (n == 4 && (head(0) & 0xf0) == 0x50 && head(1) == 0x2a &&
+    // positioned reads may return SHORT on some connectors: loop to 4 bytes
+    // (a short read treated as "no dict" would silently decode dictionary
+    // frames without the dictionary)
+    var got = 0
+    var eof = false
+    while (got < 4 && !eof) {
+      val n = stream.read(got.toLong, head, got, 4 - got)
+      if (n < 0) eof = true else got += n
+    }
+    if (got == 4 && (head(0) & 0xf0) == 0x50 && head(1) == 0x2a &&
         head(2) == 0x4d && head(3) == 0x18) {
       val s2 = fs.open(hfile)
       try Some(WarcIO.readZstdDictionaryFrame(s2)) finally s2.close()

@@ -101,12 +101,20 @@ class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact:
     }
     val dirPath = new HPath(dir)
     if (overwrite) {
-      if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
-        val n = st.getPath.getName
-        val owned = n.endsWith(".warc") || n.endsWith(".warc.gz") ||
-          n.endsWith(".warc.zst") || n.endsWith(".idx")
-        if (st.isFile && owned) fs.delete(st.getPath, false)
-      }
+      // RECURSIVE: the scan lists nested archives (date=/host= layouts), so
+      // truncate must reach them too or stale nested data survives the
+      // overwrite and is silently read back
+      def truncate(d: HPath): Unit =
+        if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+          if (st.isDirectory) truncate(st.getPath)
+          else {
+            val n = st.getPath.getName
+            val owned = n.endsWith(".warc") || n.endsWith(".warc.gz") ||
+              n.endsWith(".warc.zst") || n.endsWith(".idx")
+            if (owned) fs.delete(st.getPath, false)
+          }
+        }
+      truncate(dirPath)
     } else {
       val existing = all.map(f => new HPath(f.finalPath)).filter(fs.exists)
       if (existing.nonEmpty) throw new java.io.IOException(

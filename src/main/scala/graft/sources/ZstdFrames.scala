@@ -79,7 +79,15 @@ object ZstdFrames {
         val head = java.util.Arrays.copyOfRange(buf, 0, 4)
         if (isSkippableMagic(head)) {
           if (!fill(8)) throw new EOFException(s"skippable frame header truncated at offset $off")
-          nextF = emit(8L + le32(4))
+          val size = 8L + le32(4)
+          // bound-check BEFORE the Int truncation in emit(): a corrupt
+          // 32-bit size field must fail as a clean cap error, not wrap
+          // negative (copyOfRange crash) or wrap small (silently wrong
+          // coordinates for every later frame)
+          if (size > maxFrameBytes) throw new ZipException(
+            s"zstd skippable frame at offset $off declares $size bytes, " +
+              s"over the $maxFrameBytes-byte walker cap")
+          nextF = emit(size)
         } else if (isDataMagic(head)) {
           // findFrameCompressedSize needs the WHOLE frame buffered (the
           // wrapper THROWS ZstdException on an incomplete window) — widen

@@ -143,15 +143,17 @@ object StreamingOps {
   }
 
   /**
-   * Streaming WARC sink: `writeStream.foreachBatch` -> the rotating WARC
-   * sink, one deterministic file set per micro-batch. The reference's writer
-   * pool consumes a live channel (warc.go:149-256); here each micro-batch is
-   * a closed channel drain. Batch identity rides the file PREFIX
-   * (`<prefix>-b<batchId>`), so names never collide across batches and a
-   * REPLAYED batch (failure recovery) rewrites exactly its own files —
-   * rename-over-existing makes the sink idempotent per batch, giving
-   * end-to-end exactly-once file sets on top of the engine's at-least-once
-   * replay.
+   * Streaming WARC sink: `writeStream.foreachBatch` -> the DSv2 WARC writer
+   * (Hadoop FileSystem I/O + BatchWrite commit protocol — cluster-correct on
+   * hdfs://, s3a://, etc, unlike the java.nio `WarcSink`), one
+   * SUBDIRECTORY of rotated files per micro-batch (`<dir>/batch=<id>`). The
+   * reference's writer pool consumes a live channel (warc.go:149-256); here
+   * each micro-batch is a closed channel drain. A REPLAYED batch (failure
+   * recovery) writes mode("overwrite") into ITS OWN subdirectory, replacing
+   * exactly its own files — end-to-end exactly-once file sets on top of the
+   * engine's at-least-once replay. The batch scan and the streaming source
+   * both list recursively, so the partitioned layout reads back as one
+   * archive.
    *
    * `records` must carry the sink row shape (version, headers, content) —
    * use [[graft.sources.WarcSink.toRecordColumns]] upstream. Start with
@@ -164,10 +166,14 @@ object StreamingOps {
     records.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.WarcSink.write(batch.toDF(), dir,
-          prefix = s"$prefix-b$batchId", tsCompact = tsCompact,
-          compression = compression, maxRecordsPerFile = maxRecordsPerFile,
-          host = host)
+        batch.toDF().write.format("graft.sources.WarcDataSource")
+          .mode("overwrite") // truncates only this batch's subdirectory
+          .option("prefix", s"$prefix-b$batchId")
+          .option("tsCompact", tsCompact)
+          .option("compression", compression)
+          .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+          .option("host", host)
+          .save(s"$dir/batch=$batchId")
       }
 
   /**

@@ -27,8 +27,10 @@ object StreamingWarcDemo {
     q.processAllAvailable()
     q.stop()
 
-    val files = new java.io.File(dir).list().filter(_.endsWith(".warc.zst"))
-    println(s"batch file sets: ${files.map(_.split("-")(1)).distinct.sorted.mkString(",")}")
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => s"${d.getName}/${f.getName}"))
+      .filter(_.endsWith(".warc.zst"))
+    println(s"batch file sets: ${files.map(_.split("/")(0)).distinct.sorted.mkString(",")}")
     val back = spark.read.format("graft.sources.WarcDataSource").load(dir)
     val n = back.filter(col("warc_type") === "resource").count()
     println(s"records written+scanned: $n (files=${files.length})")

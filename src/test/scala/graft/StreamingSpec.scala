@@ -151,8 +151,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val files = new java.io.File(dir).list().filter(_.endsWith(".warc.gz"))
-    // one file set per micro-batch, batch id in the prefix
+    // one SUBDIRECTORY of files per micro-batch, batch id in dir and prefix
+    val batchDirs = new java.io.File(dir).list().filter(_.startsWith("batch="))
+    assert(batchDirs.toSet === Set("batch=0", "batch=1"), batchDirs.mkString(","))
+    val files = batchDirs.flatMap(b => new java.io.File(s"$dir/$b").list())
+      .filter(_.endsWith(".warc.gz"))
     assert(files.exists(_.startsWith("GRAFT-b0-")) && files.exists(_.startsWith("GRAFT-b1-")),
       files.mkString(","))
     val back = spark.read.format("graft.sources.WarcDataSource").load(dir)

@@ -79,12 +79,15 @@ IDENTICAL input at pinned core counts, per the round-1 protocol:
 {pair_rows}
 
 {round_over_round}
-Round-3 changes behind the speedup: single-scan `notSeen` (the probed
-candidate slice is materialized once per round via a lazy localCheckpoint
-instead of the definite-miss/maybe-seen split re-evaluating the whole
-canonicalize + robots + probe chain twice), fingerprint-keyed exact-dup
-pre-pass in LSH (16-byte md5 shuffle keys instead of whole documents), and
-the round-2 fixes carried forward.
+Round-3 engineering: the round-2 advice to materialize the probed
+candidate slice (lazy localCheckpoint in `notSeen`) was implemented,
+MEASURED as a 19-78% regression on this workload (checkpoint I/O
+serializes what the branch recompute overlaps; the one upstream exchange
+is shared via ReuseExchange anyway), and reverted — recompute stays the
+default. The kept round-3 wins: fingerprint-keyed exact-dup pre-pass in
+LSH (16-byte md5 shuffle keys instead of whole documents), shared
+self-join exchanges, custom sketch kernels, and the round-2 fixes carried
+forward.
 
 ## Why the 8 -> 32 pair underperforms here and would not on a real cluster
 
