@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * The whole engine as ONE pipeline — what a training-data team actually
+ * runs: crawl a (synthetic) web with three-tier dedup -> write real
+ * `.warc.zst` archives through the DSv2 sink -> scan them back -> exact +
+ * near-dup dedup with cluster resolution -> language/quality filter ->
+ * training-set parquet. Every stage is the library's public API; the only
+ * fake part is the web itself.
+ */
+object TrainingPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.web.SyntheticWeb
+
+    // 1) crawl: schedule -> fetch -> three-tier dedup -> warc rows
+    val n = 400L
+    val crawl = graft.jobs.Crawl.run(spark, SyntheticWeb.pages(spark, n),
+      SyntheticWeb.seeds(spark, 120, n), Some(SyntheticWeb.robots(spark)),
+      None, None,
+      graft.jobs.Crawl.Config(maxRounds = 2, perHostBudget = 40, numSlots = 8,
+        dedupSizeThreshold = 32, numShards = 4))
+    println(s"crawl: ${crawl.warcRows.count()} warc rows over ${crawl.rounds.size} rounds")
+
+    // 2) archive: rotated .warc.zst through the DSv2 commit protocol
+    // (warc_rows carry digests/lengths; bodies join back from the fetched
+    // page table, as the capture path streamed them)
+    val warcDir = java.nio.file.Files.createTempDirectory("pipeline-warc").toString
+    val pageText = SyntheticWeb.pages(spark, n).select(col("url").as("target_uri"),
+      concat_ws(" ", transform(filter(col("spans"), s => s.getField("kind") === "text"),
+        s => s.getField("text"))).as("content"))
+    val responses = crawl.warcRows.filter(col("warc_type") === "response")
+      .join(pageText, Seq("target_uri"))
+    graft.sources.WarcSink.toRecordColumns(responses, "content", keepDigests = false)
+      .write.format("graft.sources.WarcDataSource").mode("append")
+      .option("compression", "zstd").save(warcDir)
+
+    // 3) scan back (pushdown: responses only) and shape documents
+    val docs = spark.read.format("graft.sources.WarcDataSource").load(warcDir)
+      .filter(col("warc_type") === "response")
+      .select(col("record_id").as("doc_id"), col("content").cast("string").as("text"))
+    println(s"archive scan: ${docs.count()} response records")
+
+    // 4) dedup: exact fingerprints + near-dup pairs -> connected components
+    val uniq = docs.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("fp", "rn")
+    val pairs = graft.ops.DedupOps.ngramJaccardPairs(uniq, "doc_id", "text",
+      n = 2, threshold = 0.8, maxDocFreq = 50)
+    val clustered = graft.ops.DedupOps.connectedComponents(pairs)
+    val keep = uniq.join(
+      clustered.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    println(s"dedup: ${docs.count()} -> ${uniq.count()} exact-unique -> ${keep.count()} after near-dup clusters")
+
+    // 5) language + quality gate, then the training table
+    val outDir = java.nio.file.Files.createTempDirectory("pipeline-out").toString
+    val train = keep
+      .withColumn("lang", graft.ops.TextOps.langId(col("text")))
+      .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
+      .withColumn("n_tokens", graft.ops.TextOps.tokenCount(col("text")))
+      .filter(col("quality") >= 0.5) // synthetic words max out at 0.75 (no stopwords)
+    train.write.mode("overwrite").parquet(outDir)
+    val back = spark.read.parquet(outDir)
+    println(s"training set: ${back.count()} docs, langs=" +
+      back.groupBy("lang").count().orderBy("lang").collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(","))
+    spark.stop()
+  }
+}
