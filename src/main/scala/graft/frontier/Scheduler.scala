@@ -157,16 +157,13 @@ object Scheduler {
         // the kept set is deterministic.
         budgeted.orderBy(capOrder: _*).limit(cfg.maxPerRound.toInt)
       else
-        // caps above Int.MaxValue can't ride .limit (Int argument), and a
-        // ranking window would wrap its IntegerType counter past 2^31 rows —
-        // the only regime where such a cap could bite. Fail loudly instead
-        // of silently clamping or mis-capping (use Long.MaxValue, the
-        // default, for "uncapped").
-        throw new IllegalArgumentException(
-          s"maxPerRound=${cfg.maxPerRound} exceeds Int.MaxValue: per-round " +
-            "caps above 2^31-1 are not supported — size rounds below 2^31 " +
-            "rows (maxPerRound <= Int.MaxValue) or leave the cap at " +
-            "Long.MaxValue for uncapped")
+        // caps in (Int.MaxValue, Long.MaxValue): .limit takes an Int and a
+        // ranking window would wrap its IntegerType counter past 2^31 rows,
+        // so clamp to Int.MaxValue — EXACT whenever the round holds fewer
+        // than 2^31 rows (cap > rows => no-op, identical to the Long cap),
+        // which is every round Spark itself can window/rank anyway. The
+        // config stays valid as an "effectively uncapped" safety valve.
+        budgeted.orderBy(capOrder: _*).limit(Int.MaxValue)
 
     // politeness layout: one slot per host (keeps a host's fetches serial
     // within a task), deterministic slot salt per round

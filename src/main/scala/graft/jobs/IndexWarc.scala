@@ -112,10 +112,9 @@ object IndexWarc {
     val fs = root.getFileSystem(conf.value)
     // shared writer-tolerant listing (WarcScan.listWarcFiles: listStatus
     // walk, no eager LocatedFileStatus), narrowed to the framed codecs
-    val files = graft.sources.WarcScan.listWarcFiles(fs, root)
+    val files = graft.sources.WarcScan.listWarcFiles(fs, root) // already sorted
       .map(_.getPath.toString)
       .filter(f => f.endsWith(".warc.gz") || f.endsWith(".warc.zst"))
-      .sorted
     val pending =
       if (overwrite) files
       else files.filterNot(f => fs.exists(new HPath(f + ".idx")))

@@ -107,12 +107,29 @@ object AnnOps {
    */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, nlist: Int = 16): Unit = {
+    // ATOMIC publish: both halves stage into a sibling directory and land
+    // with ONE rename — a reader can never pair new centroids with old
+    // assignments. In-place rebuild is refused: a served index version is
+    // immutable; build each rebuild into a fresh versioned directory.
+    val spark = corpus.sparkSession
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(target) && fs.listStatus(target).nonEmpty)
+      throw new IllegalStateException(
+        s"indexDir $indexDir already holds data: an IVF index version is " +
+          "immutable once published (concurrent readers would race a " +
+          "rebuild) — build into a fresh directory per version")
+    val stage = new org.apache.hadoop.fs.Path(
+      indexDir + s".building-${java.util.UUID.randomUUID()}")
     val cents = centroids(corpus, idCol, vecCol, nlist).cache()
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cents.write.mode("overwrite").parquet(s"$stage/centroids")
     assign(corpus, idCol, vecCol, cents)
       .withColumn("n", vecNorm(col("v"))) // norms once, at build time
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/assignments")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/assignments")
     cents.unpersist()
+    if (fs.exists(target)) fs.delete(target, true) // empty placeholder only
+    if (!fs.rename(stage, target))
+      throw new java.io.IOException(s"index publish rename failed: $stage -> $target")
     ()
   }
 

@@ -126,7 +126,7 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
     hcrc.reset()
     consumeHeader(10)
     if ((flg & 4) != 0) { // FEXTRA
-      fillIn(2)
+      if (!fillIn(2)) throw new EOFException("gzip header truncated in FEXTRA length")
       var left = u8(0) | (u8(1) << 8)
       consumeHeader(2)
       while (left > 0) {
@@ -156,7 +156,8 @@ final class GzipMemberInputStream(raw: InputStream, bufSize: Int = 1 << 16,
   private def finishMember(): Unit = {
     // release any input the inflater didn't use (trailer bytes stay buffered)
     fedLen = inf.getRemaining
-    fillIn(8)
+    if (!fillIn(8)) throw new EOFException(
+      s"gzip member trailer truncated at compressed offset $fileOff")
     val expCrc = leInt(0)
     val expIsize = leInt(4)
     if ((crc.getValue & 0xffffffffL) != expCrc)

@@ -110,7 +110,8 @@ class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact:
           else {
             val n = st.getPath.getName
             val owned = n.endsWith(".warc") || n.endsWith(".warc.gz") ||
-              n.endsWith(".warc.zst") || n.endsWith(".idx")
+              n.endsWith(".warc.zst") || n.endsWith(".warc.bz2") ||
+              n.endsWith(".warc.xz") || n.endsWith(".idx") // all scan-read exts
             if (owned) fs.delete(st.getPath, false)
           }
         }
