@@ -82,6 +82,12 @@ object IndexWarc {
             entry(prevEnd, gz.lastMemberEndOffset - prevEnd)
           n = gz.read(buf, 0, buf.length)
         }
+        // a LAST member that inflates to zero bytes has no data-returning
+        // read after it, so the in-loop boundary check never observes it —
+        // emit the tail entry here so the index always reaches the file's
+        // last valid member end
+        if (gz.lastMemberEndOffset > prevEnd)
+          entry(prevEnd, gz.lastMemberEndOffset - prevEnd)
       }
       out.close()
       // publish only after a clean, fully-verified pass

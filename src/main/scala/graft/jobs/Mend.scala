@@ -147,7 +147,8 @@ object Mend {
   private def mendGzipFile(pathStr: String): MendResult = {
     val path = Paths.get(pathStr)
     val size = Files.size(path)
-    var records = 0L
+    var records = 0L // records wholly before lastValidEnd (survive the cut)
+    var provisional = 0L // parsed past the last member boundary — cut with it
     var lastValidEnd = 0L
     var err: String = null
     val gz = new graft.sources.GzipMemberInputStream(
@@ -155,8 +156,12 @@ object Mend {
     try {
       try {
         while (skipOneStream(gz)) {
-          records += 1
-          if (gz.atMemberBoundary) lastValidEnd = gz.lastMemberEndOffset
+          provisional += 1
+          if (gz.atMemberBoundary) {
+            lastValidEnd = gz.lastMemberEndOffset
+            records += provisional
+            provisional = 0L
+          }
         }
       } catch { case e: Exception =>
         err = Option(e.getMessage).getOrElse(e.getClass.getName) }
@@ -202,7 +207,8 @@ object Mend {
   private def mendZstdFile(pathStr: String): MendResult = {
     val path = Paths.get(pathStr)
     val size = Files.size(path)
-    var records = 0L
+    var records = 0L // records in frames wholly before lastValidEnd
+    var provisional = 0L // parsed in frames past the cut — discarded with them
     var lastValidEnd = 0L
     var err: String = null
     var dict: Array[Byte] = null
@@ -233,11 +239,19 @@ object Mend {
             while (more) {
               try {
                 more = skipOneStream(pin)
-                if (more) { records += 1; good = pending.length - pin.available() }
+                if (more) { provisional += 1; good = pending.length - pin.available() }
               } catch { case _: EOFException => more = false }
             }
             pending = java.util.Arrays.copyOfRange(pending, good, pending.length)
-            if (pending.isEmpty) lastValidEnd = f.offset + f.size
+            // records fold into the committed count only when the cut
+            // advances past their frame — complete records inside a frame
+            // that still left pending bytes are discarded WITH that frame if
+            // the scan aborts here, so they must not be counted yet
+            if (pending.isEmpty) {
+              lastValidEnd = f.offset + f.size
+              records += provisional
+              provisional = 0L
+            }
           }
         }
         if (pending.nonEmpty && err == null)

@@ -1,9 +1,10 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.WarcDigest.warc_sha1_b32
+import graft.functions.WarcDigest.{warc_blake3, warc_sha1_b32, warc_sha256_b32, warc_sha256_hex}
+import graft.warc.HttpExprs.http_payload
 
 /**
  * The `warc verify` job (A3 in SURVEY §2; reference:
@@ -12,27 +13,57 @@ import graft.functions.WarcDigest.warc_sha1_b32
  * {record_count, errors, valid} — the verify.go:31-36 shape as a grouped
  * aggregate instead of a per-file loop.
  *
- * Checks (verify.go:101-117,189-241):
+ * Checks (verify.go:101-117,125-187,189-241):
  *  - version ∈ {WARC/1.0, WARC/1.1}
  *  - mandatory headers present: WARC-Record-ID, WARC-Type, WARC-Date,
  *    Content-Length (parse-enforced)
- *  - WARC-Block-Digest, when present and sha1, matches the recomputed
- *    digest of the content block
+ *  - WARC-Block-Digest, when present and of a known algo, matches the
+ *    recomputed digest of the content block
+ *  - WARC-Payload-Digest, when present on an HTTP-message record
+ *    (Content-Type: application/http), matches the recomputed digest of the
+ *    bytes AFTER the end-of-headers cut (verify.go:125-187 re-parses the
+ *    HTTP message and digests the body; here the cut is the byte-exact
+ *    `http_payload` expression). An HTTP record carrying a payload digest
+ *    but no header terminator is a payload error — the digest is
+ *    unverifiable because the block is not a parseable HTTP message.
  */
 object VerifyWarc {
 
-  def recordChecks(records: DataFrame): DataFrame =
+  /** Recompute `content`'s digest in the same algo/encoding the stored
+    * digest declares (sha1 b32, sha256 hex vs b32 told apart by length,
+    * blake3 hex). Unknown prefixes return the stored digest itself —
+    * unverifiable, never an error (the sha1-only reference posture,
+    * generalized to every algo this engine writes). */
+  private def recomputedAs(content: Column, stored: Column): Column =
+    when(stored.startsWith("sha1:"), warc_sha1_b32(content))
+      .when(stored.startsWith("sha256:") && length(stored) === 7 + 64, warc_sha256_hex(content))
+      .when(stored.startsWith("sha256:"), warc_sha256_b32(content))
+      .when(stored.startsWith("blake3:"), warc_blake3(content))
+      .otherwise(stored)
+
+  def recordChecks(records: DataFrame): DataFrame = {
+    val isHttp = coalesce(
+      lower(element_at(col("headers"), "content-type")).startsWith("application/http"),
+      lit(false))
+    val payload = http_payload(col("content"))
     records
       .withColumn("err_version", !col("version").isin("WARC/1.0", "WARC/1.1"))
       .withColumn("err_headers",
         col("record_id").isNull || col("warc_type").isNull || col("warc_date").isNull)
       .withColumn("err_block_digest",
-        col("block_digest").isNotNull && col("block_digest").startsWith("sha1:") &&
-          col("block_digest") =!= warc_sha1_b32(col("content")))
+        col("block_digest").isNotNull &&
+          col("block_digest") =!= recomputedAs(col("content"), col("block_digest")))
+      .withColumn("err_payload_digest",
+        col("payload_digest").isNotNull && isHttp &&
+          (payload.isNull ||
+            col("payload_digest") =!= recomputedAs(payload, col("payload_digest"))))
       .withColumn("record_valid",
-        !col("err_version") && !col("err_headers") && !col("err_block_digest"))
+        !col("err_version") && !col("err_headers") &&
+          !col("err_block_digest") && !col("err_payload_digest"))
+  }
 
-  /** Per-file ValidationResult (verify.go:31-36). */
+  /** Per-file ValidationResult (verify.go:31-36); block and payload digest
+    * failures are reported separately. */
   def run(spark: SparkSession, path: String): DataFrame = {
     val records = spark.read.format("graft.sources.WarcDataSource").load(path)
     recordChecks(records)
@@ -42,6 +73,7 @@ object VerifyWarc {
         sum(when(col("err_version"), 1).otherwise(0)).as("version_errors"),
         sum(when(col("err_headers"), 1).otherwise(0)).as("header_errors"),
         sum(when(col("err_block_digest"), 1).otherwise(0)).as("digest_errors"),
+        sum(when(col("err_payload_digest"), 1).otherwise(0)).as("payload_digest_errors"),
         // sink invariant (write.go:156-186): a leading warcinfo record per
         // file. Informational, not part of `valid` — foreign files without
         // one are still spec-valid WARCs.

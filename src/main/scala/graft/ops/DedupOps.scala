@@ -308,8 +308,21 @@ object DedupOps {
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+    // `cast(long)` on a non-numeric id (string record ids, URL keys — which
+    // every *Pairs op accepts as idCol) yields NULL silently; a null vertex
+    // would collapse the whole graph into one component. Fail loudly instead:
+    // the raise_error rides inside the edge projection (codegen, no extra
+    // pass). String ids must be pre-hashed to long (e.g. xxhash64) by the
+    // caller — a deterministic, documented contract beats a silent implicit.
+    def idAsLong(c: Column, name: String): Column = {
+      val casted = c.cast("long")
+      when(casted.isNull, raise_error(concat(
+        lit(s"connectedComponents: $name id is null or not castable to long " +
+          s"(hash string ids to long first, e.g. xxhash64): "),
+        coalesce(c.cast("string"), lit("NULL"))))).otherwise(casted)
+    }
+    val edges = pairs.select(idAsLong(col(aCol), aCol).as("u"), idAsLong(col(bCol), bCol).as("v"))
+      .union(pairs.select(idAsLong(col(bCol), bCol).as("u"), idAsLong(col(aCol), aCol).as("v")))
       .distinct()
       .localCheckpoint(true) // edges are reused every iteration
     var labels = edges.select(col("u").as("id")).distinct()
@@ -344,6 +357,13 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    // pointer jumping halves chain depth per round: 25 iterations cover any
+    // graph of diameter < 2^25, so hitting the cap means something is wrong
+    // (or maxIter was lowered) — unconverged labels must never be mistaken
+    // for correct clusters
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter iterations; " +
+        "labels would be incorrect for some vertices — raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -13,8 +13,10 @@ import org.apache.spark.sql.{DataFrame, Row}
  * "maximize disk IO" per the README's WARCWriterPoolSize guidance).
  *
  * Reproduced semantics:
- *  - rotation by record budget per file (size-target analog of
- *    isFileSizeExceeded, file.go:75-85)
+ *  - rotation by SERIALIZED-BYTE floor per file (isFileSizeExceeded,
+ *    file.go:75-85, default 1000 MB: a file rotates before the first record
+ *    that would start at or past the floor, so files exceed the target by at
+ *    most one record) AND by record budget (the test-friendly analog)
  *  - `.open` suffix while writing, atomic rename on close
  *    (warc.go:189,244-248)
  *  - a leading `warcinfo` record per output file (WriteInfoRecord,
@@ -71,7 +73,8 @@ object WarcSink {
             tsCompact: String = "20231114221320000",
             gzip: Boolean = true, maxRecordsPerFile: Int = 100000,
             host: String = "local", compression: String = null,
-            zstdLevel: Int = 8, zstdDict: Array[Byte] = null): Unit = {
+            zstdLevel: Int = 8, zstdDict: Array[Byte] = null,
+            maxFileBytes: Long = 1000L << 20): Unit = {
     Files.createDirectories(Paths.get(dir))
     val codec = codecOf(gzip, compression)
     val ext = extOf(codec)
@@ -136,7 +139,8 @@ object WarcSink {
 
       try {
         rows.foreach { row =>
-          if (counting == null || written >= maxRecordsPerFile) rollover()
+          if (counting == null || written >= maxRecordsPerFile ||
+            counting.count >= maxFileBytes) rollover()
           val version = row.getAs[String]("version")
           val headers = row.getAs[Map[String, String]]("headers").toSeq
           val content = row.get(row.fieldIndex("content")) match {

@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.StructType
  * the stream's lifetime. `.open` in-progress files are invisible (extension
  * filter), and the sink's atomic rename guarantees a listed file is
  * complete.
+ *
+ * CAVEAT (shared with FileStreamSource): a file whose modification time is
+ * already older than `maxFileAgeMs` when FIRST listed — e.g. after stream
+ * downtime longer than the window, or archives bulk-copied with preserved
+ * mtimes — is never processed; it ages straight out of eligibility. Such
+ * files are logged (once each) so the drop is visible; backfill them with
+ * the BATCH scan (`spark.read.format(warc)`), or raise `maxFileAgeMs`.
  */
 class WarcMicroBatchStream(path: String, required: StructType,
                            filters: Array[Filter], maxPartitionBytes: Long,
@@ -38,14 +45,22 @@ class WarcMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = WarcSourceOffset(Seq.empty)
 
+  // driver-side, per-query-instance: each age-dropped file warns exactly once
+  private val warnedAgedOut = scala.collection.mutable.Set[String]()
+
   override def latestOffset(): Offset = {
     val cutoff = System.currentTimeMillis() - maxFileAgeMs
     val listed =
       try WarcScan.listWarcFiles(fs, root)
       catch { case _: java.io.FileNotFoundException => Seq.empty }
-    WarcSourceOffset(listed
-      .filter(_.getModificationTime >= cutoff)
-      .map(_.getPath.toString))
+    val (fresh, aged) = listed.partition(_.getModificationTime >= cutoff)
+    aged.map(_.getPath.toString).filter(warnedAgedOut.add).foreach { p =>
+      logWarning(s"WARC stream file is older than maxFileAgeMs=$maxFileAgeMs " +
+        s"and will NEVER be processed by this stream (restarting after " +
+        s"downtime longer than the age window drops the interim files — " +
+        s"backfill with the batch scan): $p")
+    }
+    WarcSourceOffset(fresh.map(_.getPath.toString))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

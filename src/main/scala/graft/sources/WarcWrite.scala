@@ -64,6 +64,7 @@ class WarcWrite(path: String, info: LogicalWriteInfo, overwrite: Boolean) extend
       Option(o.get("zstdDictBase64"))
         .map(java.util.Base64.getDecoder.decode).orNull,
       o.getInt("maxRecordsPerFile", 100000),
+      o.getLong("maxFileBytes", 1000L << 20),
       o.getOrDefault("host", "local"),
       overwrite,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
@@ -75,13 +76,13 @@ case class WarcCommitMessage(files: Seq[WarcFileCommit]) extends WriterCommitMes
 
 class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact: String,
                      codec: String, zstdLevel: Int, zstdDict: Array[Byte],
-                     maxRecordsPerFile: Int, host: String,
+                     maxRecordsPerFile: Int, maxFileBytes: Long, host: String,
                      overwrite: Boolean, conf: SerializableHadoopConf)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new WarcWriterFactory(dir, schema, prefix, tsCompact, codec, zstdLevel, zstdDict,
-      maxRecordsPerFile, host, conf)
+      maxRecordsPerFile, maxFileBytes, host, conf)
 
   /** All-or-nothing publish: rename every attempt file after every task
     * committed (driver side, after the write job succeeded).
@@ -144,17 +145,17 @@ class WarcBatchWrite(dir: String, schema: StructType, prefix: String, tsCompact:
 
 class WarcWriterFactory(dir: String, schema: StructType, prefix: String, tsCompact: String,
                         codec: String, zstdLevel: Int, zstdDict: Array[Byte],
-                        maxRecordsPerFile: Int, host: String,
+                        maxRecordsPerFile: Int, maxFileBytes: Long, host: String,
                         conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(dir, schema, prefix, tsCompact, codec, zstdLevel, zstdDict,
-      maxRecordsPerFile, host, partitionId, taskId, conf)
+      maxRecordsPerFile, maxFileBytes, host, partitionId, taskId, conf)
 }
 
 class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact: String,
                      codec: String, zstdLevel: Int, zstdDict: Array[Byte],
-                     maxRecordsPerFile: Int, host: String,
+                     maxRecordsPerFile: Int, maxFileBytes: Long, host: String,
                      partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
@@ -234,7 +235,7 @@ class WarcDataWriter(dir: String, schema: StructType, prefix: String, tsCompact:
   }
 
   override def write(row: InternalRow): Unit = {
-    if (out == null || written >= maxRecordsPerFile) rollover()
+    if (out == null || written >= maxRecordsPerFile || out.count >= maxFileBytes) rollover()
     val version = row.getUTF8String(versionIdx).toString
     val m = row.getMap(headersIdx)
     val keys = m.keyArray(); val vals = m.valueArray()

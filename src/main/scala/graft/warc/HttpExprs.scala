@@ -1,7 +1,11 @@
 package graft.warc
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /**
  * HTTP-message column expressions (X1-X3, P3 in SURVEY §2) — pure
@@ -45,4 +49,40 @@ object HttpExprs {
     val p = locate("\r\n\r\n", content)
     when(p === 0, lit(-1)).otherwise(p + 4)
   }
+
+  /** HTTP message body: the BYTES after the first \r\n\r\n of a binary HTTP
+    * block; null when no header terminator exists. Byte-exact (a UTF-8 cast
+    * would mangle arbitrary payload bytes), codegen'd — this is the cut the
+    * payload-digest verification recomputes over (verify.go:125-187). */
+  def http_payload(content: Column): Column =
+    Bridge.column(HttpPayload(Bridge.expression(content)))
+}
+
+object HttpPayloadUtil {
+  /** Bytes after the first CRLFCRLF, or null if absent (not an HTTP block). */
+  def payload(b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    val n = b.length - 3
+    while (i < n) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(b, i + 4, b.length)
+      i += 1
+    }
+    null
+  }
+}
+
+/** `http_payload(binary) -> binary`: see [[HttpExprs.http_payload]]. */
+case class HttpPayload(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HttpPayloadUtil.payload(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.warc.HttpPayloadUtil.payload($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): HttpPayload =
+    copy(child = newChild)
+  override def prettyName: String = "http_payload"
 }

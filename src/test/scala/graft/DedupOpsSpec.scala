@@ -89,6 +89,27 @@ class DedupOpsSpec extends SparkSpec {
     assert((1000L to 1063L).forall(got(_) === 1000L))
   }
 
+  test("connectedComponents rejects non-castable ids loudly (no silent null vertex)") {
+    import spark.implicits._
+    // string ids cast(long) -> NULL silently; a null vertex would merge the
+    // whole graph into one bogus component — must throw instead
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val e = intercept[Throwable] { DedupOps.connectedComponents(pairs) }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // under ANSI (Spark 4 default) the cast itself throws CAST_INVALID_INPUT
+    // before our raise_error guard; with ANSI off the guard fires instead —
+    // either way the call fails loudly rather than collapsing the graph
+    assert(msgs.contains("castable") || msgs.contains("USER_RAISED_EXCEPTION") ||
+      msgs.contains("CAST_INVALID_INPUT"),
+      s"expected a loud id-cast failure, got: $msgs")
+    // numeric strings still pass (they cast losslessly)
+    val ok = DedupOps.connectedComponents(
+      Seq(("1", "2"), ("2", "3")).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(ok === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("ngram jaccard exact mode (maxDocFreq<=0) matches brute force") {
     import spark.implicits._
     val docs = Seq(

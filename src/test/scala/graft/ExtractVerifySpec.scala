@@ -41,6 +41,55 @@ class ExtractVerifySpec extends SparkSpec {
     assert(!b.getAs[Boolean]("valid"))
   }
 
+  private def httpRows(payloadDigest: org.apache.spark.sql.Column) =
+    spark.range(10).select(
+      lit("WARC/1.1").as("version"),
+      map(
+        lit("WARC-Record-ID"), concat(lit("<urn:uuid:p"), col("id").cast("string"), lit(">")),
+        lit("WARC-Type"), lit("response"),
+        lit("WARC-Date"), lit("2023-11-14T22:13:20Z"),
+        lit("Content-Type"), lit("application/http;msgtype=response"),
+        lit("WARC-Payload-Digest"), payloadDigest).as("headers"),
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nbody-"),
+        col("id").cast("string")).cast("string").as("content"))
+
+  test("VerifyWarc: payload digest recomputed over the HTTP body (verify.go:125-187)") {
+    val goodDigest = graft.functions.WarcDigest.warc_sha1_b32(
+      concat(lit("body-"), col("id").cast("string")))
+    val good = Files.createTempDirectory("pgood").toString
+    val bad = Files.createTempDirectory("pbad").toString
+    WarcSink.write(httpRows(goodDigest).coalesce(1), good)
+    WarcSink.write(httpRows(lit("sha1:WRONGWRONGWRONGWRONGWRONGWRONGWR")).coalesce(1), bad)
+    val g = VerifyWarc.run(spark, good).head()
+    assert(g.getAs[Long]("payload_digest_errors") === 0)
+    assert(g.getAs[Boolean]("valid"))
+    val b = VerifyWarc.run(spark, bad).head()
+    assert(b.getAs[Long]("payload_digest_errors") === 10)
+    assert(b.getAs[Long]("digest_errors") === 0) // block vs payload distinguished
+    assert(!b.getAs[Boolean]("valid"))
+  }
+
+  test("VerifyWarc: payload digest scope — non-HTTP records skipped; unparseable HTTP flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      // resource record (not application/http): payload digest is NOT checked
+      ("<urn:uuid:s1>", "text/plain", "sha1:WRONGWRONGWRONGWRONGWRONGWRONGWR", "plain bytes"),
+      // claims HTTP but has no header terminator: unverifiable -> payload error
+      ("<urn:uuid:s2>", "application/http;msgtype=response",
+        "sha1:WRONGWRONGWRONGWRONGWRONGWRONGWR", "HTTP/1.1 200 OK no terminator"))
+      .toDF("rid", "ct", "pd", "content")
+      .select(lit("WARC/1.1").as("version"),
+        map(lit("WARC-Record-ID"), col("rid"), lit("WARC-Type"), lit("response"),
+          lit("WARC-Date"), lit("2023-11-14T22:13:20Z"),
+          lit("Content-Type"), col("ct"),
+          lit("WARC-Payload-Digest"), col("pd")).as("headers"),
+        col("content"))
+    val dir = Files.createTempDirectory("pscope").toString
+    WarcSink.write(rows.coalesce(1), dir)
+    val r = VerifyWarc.run(spark, dir).head()
+    assert(r.getAs[Long]("payload_digest_errors") === 1) // only the unparseable one
+  }
+
   test("Extract.writeFiles: host dirs, collision digest-suffix, traversal guard") {
     import spark.implicits._
     val df = Seq(

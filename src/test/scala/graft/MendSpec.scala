@@ -104,6 +104,64 @@ class MendSpec extends SparkSpec {
     assert(back.filter(col("warc_type") === "response").count() === keepMembers - 1)
   }
 
+  private def recBytes(i: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.sources.WarcIO.writeRecord(bos, "WARC/1.1", Seq(
+      "WARC-Record-ID" -> s"<urn:uuid:pc$i>",
+      "WARC-Type" -> "response",
+      "WARC-Date" -> "2023-11-14T22:13:20Z"), ("x" * 48).getBytes)
+    bos.toByteArray
+  }
+
+  test("validRecords excludes records parsed past the final cut (gzip)") {
+    // member A = r1 (record end == member end); member B = r2 + half of r3:
+    // r2 parses COMPLETELY but lies past the last good member boundary, so
+    // the truncation discards it — it must not be counted as surviving
+    val dir = Files.createTempDirectory("mendcntgz")
+    val p = dir.resolve("c.warc.gz")
+    val memberA = { val b = new java.io.ByteArrayOutputStream()
+      graft.sources.WarcIO.writeGzipMember(b)(g => g.write(recBytes(1))); b.toByteArray }
+    val out = Files.newOutputStream(p)
+    out.write(memberA)
+    val r3 = recBytes(3)
+    graft.sources.WarcIO.writeGzipMember(out) { g =>
+      g.write(recBytes(2)); g.write(r3, 0, r3.length / 2)
+    }
+    out.close()
+    val r = Mend.mendFile(p.toString)
+    assert(r.error != null)
+    assert(r.keptBytes === memberA.length)
+    assert(r.validRecords === 1) // r1 only; r2 fell past the cut with member B
+    // the mended file now re-mends clean with the same count
+    val again = Mend.mendFile(p.toString)
+    assert(again.error == null && again.validRecords === 1)
+  }
+
+  test("validRecords excludes records in frames past the final cut (zstd)") {
+    // frame 1 = r1; frame 2 = r2 + half of r3 -> trailing partial record:
+    // the cut is the end of frame 1, so r2 (complete but inside the
+    // discarded frame) must not be counted
+    val dir = Files.createTempDirectory("mendcntzst")
+    val p = dir.resolve("c.warc.zst")
+    val zctx = graft.sources.WarcIO.zstdCompressCtx(3, null)
+    val frame1 = { val b = new java.io.ByteArrayOutputStream()
+      graft.sources.WarcIO.writeZstdMember(b, zctx)(z => z.write(recBytes(1))); b.toByteArray }
+    val out = Files.newOutputStream(p)
+    out.write(frame1)
+    val r3 = recBytes(3)
+    graft.sources.WarcIO.writeZstdMember(out, zctx) { z =>
+      z.write(recBytes(2)); z.write(r3, 0, r3.length / 2)
+    }
+    out.close()
+    zctx.close()
+    val r = Mend.mendFile(p.toString)
+    assert(r.error != null)
+    assert(r.keptBytes === frame1.length)
+    assert(r.validRecords === 1)
+    val again = Mend.mendFile(p.toString)
+    assert(again.error == null && again.validRecords === 1)
+  }
+
   test("mendAll distributes across files (plain and gzip)") {
     val dir = Files.createTempDirectory("mendall").toString
     writeFile(dir, 4, gzip = false)

@@ -51,6 +51,32 @@ class WarcSourceSpec extends SparkSpec {
     back.unpersist()
   }
 
+  test("byte-size rotation: files straddle the maxFileBytes floor; round-trip intact") {
+    val floor = 4096L
+    val dir = Files.createTempDirectory("warcbytes").toString
+    WarcSink.write(sampleRows(200).coalesce(1), dir,
+      maxRecordsPerFile = 1000000, maxFileBytes = floor)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+    assert(files.length > 1, "the byte floor must force rotation")
+    // floor semantics (file.go:75-85): rotate before the first record at or
+    // past the floor — every file except the last crossed it...
+    files.dropRight(1).foreach(f => assert(f.length >= floor, s"${f.getName} under floor"))
+    // ...and exceeds it by at most ~one compressed record (floor, not a cap)
+    files.foreach(f => assert(f.length < floor + 2048, s"${f.getName} overshoot"))
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.filter(col("warc_type") =!= "warcinfo").count() === 200)
+
+    // the DSv2 writer honours the same option with identical layout
+    val dir2 = Files.createTempDirectory("warcbytes2").toString
+    sampleRows(200).coalesce(1).write.format(Fmt)
+      .option("maxFileBytes", floor).mode("append").save(dir2)
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files2.length === files.length)
+    assert(files2.map(_.length).sorted.toSeq === files.map(_.length).sorted.toSeq)
+  }
+
   test("member coordinates: reader-side tracking equals writer-side sidecar index") {
     val dir = Files.createTempDirectory("warcidx").toString
     WarcSink.write(sampleRows(30).coalesce(1), dir, maxRecordsPerFile = 100)
