@@ -464,9 +464,13 @@ object SparkEntry {
     }),
 
     "q28_media_features" -> ((s, dir) => {
+      // REAL decode: PNG via ImageIO, WAV via AudioSystem (width/height come
+      // from the decoded pixels, not metadata); video is the documented stub
       val media = Multimodal.mediaTable(SyntheticWeb.pages(s, 500))
       Multimodal.extractFeatures(s, media, dim = 16).toDF()
-        .select(col("media_id"), col("kind"), col("ok"), size(col("features")).as("dim"), col("n_frames"))
+        .select(col("media_id"), col("kind"), col("ok"),
+          col("width"), col("height"),
+          size(col("features")).as("dim"), col("n_frames"))
         .orderBy("media_id")
     }),
 

@@ -11,23 +11,140 @@ import org.apache.spark.sql.functions._
  * contract; an Arrow-backed Pandas UDF would slot into the identical plan
  * position in PySpark).
  *
- * STUB BOUNDARY: no image/audio codecs ship in this container, so
- * [[FakeCodec]] is a clearly-marked deterministic stand-in — it produces
- * stable pseudo-features from the bytes. Everything around it (schema,
- * partitioning, batch shape, null handling) is real and tested; swapping
- * `FakeCodec.decode*` for a JNI/javacpp codec changes no plan shape.
+ * Decoders are REAL for the formats the JDK ships in `java.desktop`:
+ * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP) and
+ * `javax.sound.sampled.AudioSystem` (WAV/PCM) — no external jars. The ONLY
+ * stubbed kernel is video ([[VideoStub]]): the JDK has no video codec, so
+ * frame decode for `video/…` is a clearly-marked deterministic stand-in
+ * (swapping it for a JNI/javacpp codec changes no plan shape). Decode
+ * failures surface as `ok = false` rows, never exceptions — at 100 TB some
+ * payloads WILL be corrupt, and one bad blob must not fail a 10k-row task.
  */
 object Multimodal {
 
   case class MediaRow(media_id: String, kind: String, bytes: Array[Byte],
                       mime: String, width: Int, height: Int, duration_ms: Long)
   case class MediaFeatures(media_id: String, kind: String, ok: Boolean,
+                           width: Int, height: Int,
                            features: Array[Float], n_frames: Int)
   case class FrameSample(media_id: String, frame_idx: Int, ts_ms: Long,
                          features: Array[Float])
 
-  /** Deterministic stand-in for a real decoder. DO NOT ship: ??? -> real codec. */
-  object FakeCodec {
+  // ---------------------------------------------------------------- decoding
+
+  /** Real decoders over the JDK's own codecs. Instantiated per TASK (inside
+    * mapPartitions) so codec setup cost amortizes across a partition. */
+  object JdkCodec {
+
+    /**
+     * Decode an image (PNG/JPEG/GIF/BMP via ImageIO) to a fixed-dim feature
+     * vector: [width, height, meanR, meanG, meanB, grayHist(dim-5 bins as
+     * pixel fractions)]. Returns null when the bytes are not a decodable
+     * image (ImageIO yields null / throws on corrupt input).
+     */
+    def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 6, s"image feature dim must be >= 6, got $dim")
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return null
+      val w = img.getWidth; val h = img.getHeight
+      val bins = dim - 5
+      val hist = new Array[Long](bins)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val gray = (r * 299 + g * 587 + b * 114) / 1000 // ITU-R BT.601 luma
+          hist((gray * bins) / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val out = new Array[Float](dim)
+      out(0) = w.toFloat; out(1) = h.toFloat
+      out(2) = sr.toFloat / n; out(3) = sg.toFloat / n; out(4) = sb.toFloat / n
+      var i = 0
+      while (i < bins) { out(5 + i) = hist(i).toFloat / n; i += 1 }
+      out
+    }
+
+    /** Decoded (width, height) of an image, or null if undecodable. */
+    def imageDims(bytes: Array[Byte]): Array[Int] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) null else Array(img.getWidth, img.getHeight)
+    }
+
+    /**
+     * Decode audio (WAV/PCM via AudioSystem) to [sampleRate, channels,
+     * durationMs, rms, segmentMeanAbs(dim-4 temporal segments)] over
+     * channel-0 16-bit samples normalized to [-1, 1]. Returns null on
+     * undecodable bytes.
+     */
+    def audioFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 5, s"audio feature dim must be >= 5, got $dim")
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (ais == null) return null
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) return null // engine writes 16-bit PCM
+        val raw = ais.readAllBytes()
+        val channels = fmt.getChannels
+        val frameBytes = 2 * channels
+        val nFrames = raw.length / frameBytes
+        if (nFrames == 0) return null
+        val big = fmt.isBigEndian
+        def sample(f: Int): Float = { // channel 0
+          val o = f * frameBytes
+          val s =
+            if (big) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+            else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+          s / 32768.0f
+        }
+        val segs = dim - 4
+        val segSum = new Array[Double](segs)
+        val segN = new Array[Long](segs)
+        var sumSq = 0.0
+        var f = 0
+        while (f < nFrames) {
+          val v = sample(f)
+          sumSq += v.toDouble * v
+          val s = ((f.toLong * segs) / nFrames).toInt
+          segSum(s) += math.abs(v); segN(s) += 1
+          f += 1
+        }
+        val out = new Array[Float](dim)
+        out(0) = fmt.getSampleRate
+        out(1) = channels.toFloat
+        out(2) = (nFrames * 1000.0 / fmt.getSampleRate).toFloat
+        out(3) = math.sqrt(sumSq / nFrames).toFloat
+        var i = 0
+        while (i < segs) {
+          out(4 + i) = if (segN(i) == 0) 0f else (segSum(i) / segN(i)).toFloat
+          i += 1
+        }
+        out
+      } catch { case _: Exception => null } finally ais.close()
+    }
+  }
+
+  /**
+   * Video-only stand-in: the JDK ships NO video codec, so `video/…` frame
+   * decode produces stable pseudo-features from the bytes. Everything around
+   * it (schema, batching, frame-count arithmetic) is real; swapping
+   * `pseudoFeatures` for a JNI/javacpp decoder changes no plan shape.
+   */
+  object VideoStub {
     private def mix(seed: Long, i: Int): Long = {
       var h = seed ^ (i * 0x9e3779b97f4a7c15L)
       h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
@@ -39,36 +156,118 @@ object Multimodal {
       while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
       h
     }
-    /** "Decode" to a dim-sized feature vector; deterministic in the bytes. */
-    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    def pseudoFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
       val seed = bytesSeed(bytes)
       Array.tabulate(dim)(i => ((mix(seed, i) % 2000L) / 1000.0f))
     }
-    /** Fake stream length -> frame count at fps over duration. */
     def frameCount(durationMs: Long, fps: Int): Int =
       math.max(1, (durationMs * fps / 1000L).toInt)
   }
 
-  /** Build a media table from the synthetic pages' media spans (binary payloads). */
-  def mediaTable(pages: DataFrame): DataFrame =
-    pages.select(explode(filter(col("spans"), s => s.getField("kind") === "media")).as("s"))
+  // ------------------------------------------------------- synthetic fixture
+
+  /**
+   * Deterministic REAL media bytes for the synthetic web: a decodable PNG
+   * (pseudo-random pixels from the seed) and a decodable 16-bit mono WAV
+   * (pseudo-noise samples). In production these bytes come from WARC
+   * payloads; this generator only exists so tests and benches exercise the
+   * REAL ImageIO/AudioSystem decode path instead of a fake.
+   */
+  object SyntheticMedia {
+    private def mix(seed: Long, i: Long): Long = {
+      var h = seed ^ (i * 0x9e3779b97f4a7c15L)
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h
+    }
+
+    def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (mix(seed, y.toLong * w + x) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(w * h / 2 + 64)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Little-endian 16-bit mono PCM WAV at `sampleRate` Hz. */
+    def wavBytes(seed: Long, durationMs: Long, sampleRate: Int = 8000): Array[Byte] = {
+      val n = math.max(1L, durationMs * sampleRate / 1000L).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (mix(seed, i) % 32768L).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Opaque pseudo-bytes for video (no JDK encoder either). */
+    def videoBytes(seed: Long): Array[Byte] =
+      Array.tabulate(256)(i => (mix(seed, i) & 0xff).toByte)
+  }
+
+  case class MediaMeta(media_id: String, kind: String, mime: String,
+                               width: Int, height: Int, duration_ms: Long, seed: Long)
+
+  /** Build a media table from the synthetic pages' media spans: REAL binary
+    * payloads (decodable PNG / WAV; pseudo-bytes for video) deterministic in
+    * the media_ref hash, so any two runs generate identical bytes. */
+  def mediaTable(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val meta = pages
+      .select(explode(filter(col("spans"), s => s.getField("kind") === "media")).as("s"))
       .select(col("s.media_ref").as("media_id"))
       .dropDuplicates("media_id")
       .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(xxhash64(col("media_id")), lit(3)) + 1).cast("int")))
-      // opaque binary payload: deterministic pseudo-bytes from the ref hash
-      .withColumn("bytes", unhex(repeat(lpad(lower(hex(xxhash64(col("media_id")))), 16, "0"), 8)))
       .withColumn("mime", when(col("kind") === "image", "image/png")
         .when(col("kind") === "audio", "audio/wav").otherwise("video/mp4"))
-      .withColumn("width", when(col("kind") === "image", (pmod(xxhash64(lit("w"), col("media_id")), lit(1920)) + 1).cast("int")).otherwise(lit(0)))
-      .withColumn("height", when(col("kind") === "image", (pmod(xxhash64(lit("h"), col("media_id")), lit(1080)) + 1).cast("int")).otherwise(lit(0)))
-      .withColumn("duration_ms", when(col("kind") =!= "image",
-        (pmod(xxhash64(lit("d"), col("media_id")), lit(60000L)) + 1000L)).otherwise(lit(0L)))
+      // image dims small enough that a 500-page fixture renders in ms, large
+      // enough that histograms are meaningful
+      .withColumn("width", when(col("kind") === "image", (pmod(xxhash64(lit("w"), col("media_id")), lit(57)) + 8).cast("int")).otherwise(lit(0)))
+      .withColumn("height", when(col("kind") === "image", (pmod(xxhash64(lit("h"), col("media_id")), lit(41)) + 8).cast("int")).otherwise(lit(0)))
+      .withColumn("duration_ms",
+        when(col("kind") === "audio", pmod(xxhash64(lit("d"), col("media_id")), lit(1800L)) + 200L)
+          .when(col("kind") === "video", pmod(xxhash64(lit("d"), col("media_id")), lit(60000L)) + 1000L)
+          .otherwise(lit(0L)))
+      .withColumn("seed", xxhash64(lit("bytes"), col("media_id")))
+      .as[MediaMeta]
+    meta.mapPartitions { rows =>
+      rows.map { m =>
+        val bytes = m.kind match {
+          case "image" => SyntheticMedia.pngBytes(m.seed, m.width, m.height)
+          case "audio" => SyntheticMedia.wavBytes(m.seed, m.duration_ms)
+          case _ => SyntheticMedia.videoBytes(m.seed)
+        }
+        MediaRow(m.media_id, m.kind, bytes, m.mime, m.width, m.height, m.duration_ms)
+      }
+    }.toDF()
+  }
 
   /**
    * Partition-batched feature extraction (the mapInPandas analog): rows are
-   * processed per-partition so a real codec could amortize model/codec init
-   * once per task; output schema is fixed and typed.
+   * processed per-partition so codec init amortizes once per task; output
+   * schema is fixed and typed. Images/audio decode through the REAL JDK
+   * codecs; undecodable bytes yield `ok = false` (with the metadata dims
+   * passed through) instead of failing the task.
    */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 32): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -76,18 +275,33 @@ object Multimodal {
       col("width"), col("height"), col("duration_ms"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-task init happens HERE in a real impl (load codec/model once)
         rows.map { r =>
-          if (r.bytes == null || r.bytes.isEmpty)
-            MediaFeatures(r.media_id, r.kind, ok = false, Array.empty, 0)
-          else MediaFeatures(r.media_id, r.kind, ok = true,
-            FakeCodec.decodeFeatures(r.bytes, dim),
-            if (r.kind == "video") FakeCodec.frameCount(r.duration_ms, fps = 2) else 1)
+          def bad = MediaFeatures(r.media_id, r.kind, ok = false, r.width, r.height,
+            Array.empty, 0)
+          if (r.bytes == null || r.bytes.isEmpty) bad
+          else r.kind match {
+            case "image" =>
+              val f = JdkCodec.imageFeatures(r.bytes, dim)
+              if (f == null) bad
+              // width/height REPORTED FROM THE DECODED PIXELS, not metadata
+              else MediaFeatures(r.media_id, r.kind, ok = true,
+                f(0).toInt, f(1).toInt, f, n_frames = 1)
+            case "audio" =>
+              val f = JdkCodec.audioFeatures(r.bytes, dim)
+              if (f == null) bad
+              else MediaFeatures(r.media_id, r.kind, ok = true, 0, 0, f, n_frames = 1)
+            case _ => // video: JDK has no codec -> documented stub kernel
+              MediaFeatures(r.media_id, r.kind, ok = true, r.width, r.height,
+                VideoStub.pseudoFeatures(r.bytes, dim),
+                VideoStub.frameCount(r.duration_ms, fps = 2))
+          }
         }
       }
   }
 
-  /** Frame sampling for video: explode deterministic frame timestamps, featurize each. */
+  /** Frame sampling for video: explode deterministic frame timestamps,
+    * featurize each. The per-frame kernel is [[VideoStub]] (no JDK video
+    * codec); the explode/timestamp/batch structure is the real operator. */
   def sampleFrames(spark: SparkSession, media: DataFrame, fps: Int = 2, dim: Int = 16): Dataset[FrameSample] = {
     import spark.implicits._
     media.filter(col("kind") === "video")
@@ -95,11 +309,11 @@ object Multimodal {
         col("width"), col("height"), col("duration_ms"))
       .as[MediaRow]
       .flatMap { r =>
-        val n = FakeCodec.frameCount(r.duration_ms, fps)
+        val n = VideoStub.frameCount(r.duration_ms, fps)
         (0 until n).map { i =>
           val tsMs = i.toLong * 1000L / fps
           FrameSample(r.media_id, i, tsMs,
-            FakeCodec.decodeFeatures(r.bytes ++ BigInt(i).toByteArray, dim))
+            VideoStub.pseudoFeatures(r.bytes ++ BigInt(i).toByteArray, dim))
         }
       }
   }
@@ -110,5 +324,42 @@ object Multimodal {
       .otherwise(lit(maxDim.toDouble) / greatest(col("width"), col("height")))
     media.withColumn("target_width", ceil(col("width") * scale).cast("int"))
       .withColumn("target_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Decode-verified resize: re-encode images whose decoded dims exceed
+    * `maxDim` to the planned target size (bilinear), pass others through.
+    * Real pixels in, real pixels out — the shape a 100 TB image-normalization
+    * stage takes (per-partition batched, codec init amortized per task). */
+  def resizeImages(spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes"), col("mime"),
+      col("width"), col("height"), col("duration_ms"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.kind != "image") r
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+              catch { case _: Exception => null }
+            if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) r
+            else {
+              val s = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val tw = math.max(1, math.ceil(img.getWidth * s).toInt)
+              val th = math.max(1, math.ceil(img.getHeight * s).toInt)
+              val dst = new java.awt.image.BufferedImage(tw, th,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream(r.bytes.length)
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              r.copy(bytes = bos.toByteArray, width = tw, height = th)
+            }
+          }
+        }
+      }
   }
 }

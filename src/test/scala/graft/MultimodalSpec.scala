@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.web.SyntheticWeb
+
+/**
+ * Real JDK codec path: ImageIO (PNG) and AudioSystem (WAV) decode actual
+ * bytes. Goldens are HAND-BUILT per the PNG/RIFF specs (not produced by the
+ * same encoder that decodes them), so the decode path is checked against an
+ * independent construction.
+ */
+class MultimodalSpec extends SparkSpec {
+
+  /** Hand-built PNG (spec: signature + IHDR + IDAT[deflate of filtered
+    * scanlines] + IEND, CRC32 per chunk): 2x1 RGB, pixels red then blue. */
+  private def goldenPng: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(body.length).array()
+      bos.write(len)
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      bos.write(tb); bos.write(body)
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    // IHDR: width=2, height=1, bitDepth=8, colorType=2 (RGB), no interlace
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(1).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    // one scanline: filter 0, then RGB red + RGB blue
+    val scan = Array[Byte](0, 255.toByte, 0, 0, 0, 0, 255.toByte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(scan); d.finish()
+    val comp = new Array[Byte](64)
+    val n = d.deflate(comp); d.end()
+    chunk("IDAT", java.util.Arrays.copyOf(comp, n))
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** Hand-built RIFF/WAVE: 16-bit mono 8000 Hz PCM, 4 known samples. */
+  private def goldenWav(samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.putShort(s))
+    b.array()
+  }
+
+  test("golden PNG byte literal decodes: dims, channel means, histogram mass") {
+    val f = Multimodal.JdkCodec.imageFeatures(goldenPng, dim = 16)
+    assert(f != null, "hand-built PNG must decode")
+    assert(f(0) === 2.0f && f(1) === 1.0f) // decoded dims
+    assert(f(2) === 127.5f && f(3) === 0.0f && f(4) === 127.5f) // mean R/G/B
+    // histogram: red -> luma 76, blue -> luma 29; 11 bins over 256
+    val bins = f.drop(5)
+    assert(math.abs(bins.sum - 1.0f) < 1e-6f)
+    assert(bins((76 * 11) / 256) === 0.5f && bins((29 * 11) / 256) === 0.5f)
+  }
+
+  test("golden WAV byte literal decodes: rate, duration, hand-computed RMS") {
+    val samples = Seq[Short](16384, -16384, 32767, 0)
+    val f = Multimodal.JdkCodec.audioFeatures(goldenWav(samples), dim = 8)
+    assert(f != null, "hand-built WAV must decode")
+    assert(f(0) === 8000.0f && f(1) === 1.0f)
+    assert(f(2) === (4 * 1000.0 / 8000).toFloat) // 0.5 ms
+    val expectRms = math.sqrt(samples.map(s => math.pow(s / 32768.0, 2)).sum / 4).toFloat
+    assert(math.abs(f(3) - expectRms) < 1e-4f)
+  }
+
+  test("undecodable bytes surface as null/ok=false, never exceptions") {
+    assert(Multimodal.JdkCodec.imageFeatures("not a png".getBytes, 16) == null)
+    assert(Multimodal.JdkCodec.audioFeatures("not a wav".getBytes, 8) == null)
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow("m0", "image", "junk".getBytes, "image/png", 4, 4, 0L))
+      .toDF()
+    val r = Multimodal.extractFeatures(spark, junk, dim = 16).collect()
+    assert(r.length === 1 && !r(0).ok && r(0).features.isEmpty)
+  }
+
+  test("synthetic media table carries REAL decodable bytes; features from pixels") {
+    val media = Multimodal.mediaTable(SyntheticWeb.pages(spark, 300)).cache()
+    val kinds = media.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet === Set("image", "audio", "video"))
+
+    val feats = Multimodal.extractFeatures(spark, media, dim = 16).cache()
+    assert(feats.filter(!col("ok")).count() === 0, "every synthetic payload decodes")
+    // image dims in the output come from the DECODED pixels and must agree
+    // with the generator's metadata
+    val imgs = feats.filter(col("kind") === "image").toDF()
+      .join(media.select(col("media_id"), col("width").as("mw"), col("height").as("mh")), "media_id")
+    assert(imgs.filter(col("width") =!= col("mw") || col("height") =!= col("mh")).count() === 0)
+    // audio durations recovered from decoded PCM match the generator (8 kHz)
+    val aud = Multimodal.extractFeatures(spark, media.filter(col("kind") === "audio"), dim = 16)
+      .toDF().select(col("media_id"), element_at(col("features"), 3).as("dur"))
+      .join(media.select(col("media_id"), col("duration_ms")), "media_id")
+    assert(aud.filter(abs(col("dur") - col("duration_ms")) > 1.0).count() === 0)
+    // determinism: regenerating produces byte-identical payloads
+    val again = Multimodal.mediaTable(SyntheticWeb.pages(spark, 300))
+      .select(col("media_id"), md5(col("bytes")).as("h2"))
+    val cmp = media.select(col("media_id"), md5(col("bytes")).as("h1")).join(again, "media_id")
+    assert(cmp.filter(col("h1") =!= col("h2")).count() === 0)
+    feats.unpersist(); media.unpersist()
+  }
+
+  test("resizeImages re-encodes oversized images to the planned dims (real pixels)") {
+    import spark.implicits._
+    val big = Seq(Multimodal.MediaRow("big", "image",
+      Multimodal.SyntheticMedia.pngBytes(42L, 40, 20), "image/png", 40, 20, 0L),
+      Multimodal.MediaRow("small", "image",
+        Multimodal.SyntheticMedia.pngBytes(7L, 8, 8), "image/png", 8, 8, 0L)).toDF()
+    val out = Multimodal.resizeImages(spark, big, maxDim = 10).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out("big").width === 10 && out("big").height === 5)
+    val dims = Multimodal.JdkCodec.imageDims(out("big").bytes)
+    assert(dims(0) === 10 && dims(1) === 5, "re-encoded bytes decode to target dims")
+    assert(out("small").width === 8)
+    assert(out("small").bytes.sameElements(Multimodal.SyntheticMedia.pngBytes(7L, 8, 8)))
+  }
+
+  test("video frame sampling: stub kernel, real frame/timestamp structure") {
+    import spark.implicits._
+    val v = Seq(Multimodal.MediaRow("v0", "video",
+      Multimodal.SyntheticMedia.videoBytes(1L), "video/mp4", 0, 0, 2500L)).toDF()
+    val frames = Multimodal.sampleFrames(spark, v, fps = 2, dim = 8).collect()
+    assert(frames.length === 5) // 2500 ms * 2 fps = 5
+    assert(frames.map(_.ts_ms).sorted.toSeq === Seq(0L, 500L, 1000L, 1500L, 2000L))
+    assert(frames.forall(_.features.length === 8))
+  }
+}
