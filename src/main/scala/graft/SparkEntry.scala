@@ -444,10 +444,18 @@ object SparkEntry {
     }),
 
     "q26_ann_ivf_topk" -> ((s, dir) => {
+      // ORACLE-CHECKABLE IVF: quantized embeddings (exact arithmetic, the
+      // q27 trick) + nprobe = nlist — an exhaustive probe scores every
+      // (vector, query) pair exactly once, so the IVF machinery (centroids,
+      // assignment argmin, probe join, per-cluster scoring) must reproduce
+      // brute force BY CONSTRUCTION and DuckDB can check it. The pruned
+      // nprobe < nlist path is asserted against this machinery in
+      // AnnIndexSpec (indexed == in-memory == pruned-probe recall case).
       val e = t(s, dir, "embeddings")
-      AnnOps.ivfTopK(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nlist = 8, nprobe = 3)
+        .withColumn("vq", transform(col("embedding"), x => round(x * 1000, 0).cast("double")))
+      AnnOps.ivfTopK(e, "vec_id", "vq",
+        e.filter(col("vec_id") < 5), "vec_id", "vq",
+        k = 10, nlist = 8, nprobe = 8)
         .orderBy("qid", "rank")
     }),
 
@@ -732,6 +740,27 @@ object SparkEntry {
         |WHERE qid <> id
         |  AND list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) >= 0.25
         |ORDER BY qid, id""".stripMargin,
+
+    "q26_ann_ivf_topk" ->
+      // nprobe = nlist makes IVF ≡ brute force by construction (see the
+      // Spark side), so the oracle is the exact ranked cosine top-k
+      """WITH c AS (SELECT vec_id AS id,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |     q AS (SELECT vec_id AS qid,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     scored AS (
+        |       SELECT qid, id,
+        |              list_dot_product(v, qv) /
+        |              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |       FROM c, q),
+        |     ranked AS (
+        |       SELECT qid, id, cos,
+        |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |       FROM scored)
+        |SELECT qid, id, round(cos, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q27_ann_brute_topk" ->
       """WITH c AS (SELECT vec_id AS id,

@@ -133,6 +133,54 @@ object AnnOps {
     ()
   }
 
+  /**
+   * Append new vectors to a persisted IVF index WITHOUT re-clustering: assign
+   * them with the STORED centroids and append to the existing `cid=`
+   * partition layout — the daily-ingest path of a 100 TB pipeline (FAISS's
+   * `add` after `train`). The partition scheme is unchanged, so
+   * [[ivfTopKIndexed]] keeps its dynamic partition pruning over old+new data.
+   *
+   * Concurrency: the append publishes through Spark's parquet commit
+   * protocol (staged files, visible only after job commit), and a reader
+   * plans its file list once at query start — a racing query sees either the
+   * pre- or post-append snapshot, never partial files. As vectors drift from
+   * the frozen centroids, probe recall decays: watch [[ivfStaleness]] and
+   * rebuild (into a NEW version directory) past ~10-20%. Caller contract:
+   * ids are globally unique across appends (the index never dedupes).
+   */
+  def appendToIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids") // frozen at build
+    assign(corpus, idCol, vecCol, cents)
+      .withColumn("n", vecNorm(col("v")))
+      .write.mode("append").partitionBy("cid").parquet(s"$indexDir/assignments")
+  }
+
+  case class IvfStats(n_vectors: Long, n_stale: Long, stale_fraction: Double)
+
+  /** Staleness of a persisted IVF index: the fraction of indexed vectors
+    * whose cosine similarity to their OWN centroid is below `simThreshold`.
+    * Appended vectors are assigned to frozen centroids, so this fraction
+    * grows with drift; past ~0.1-0.2 probe recall suffers and the index
+    * should be rebuilt into a fresh version. One aggregation pass, norms
+    * read from the stored layout. */
+  def ivfStaleness(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   simThreshold: Double = 0.5): IvfStats = {
+    // centroid norms staged on the (tiny) broadcast side — recomputing the
+    // norm fold per assignment row would multiply it by the corpus size
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .withColumn("cn", vecNorm(col("cv")))
+    val sim = cosineFromParts(dotProduct(col("v"), col("cv")), col("n"), col("cn"))
+    val row = spark.read.parquet(s"$indexDir/assignments")
+      .join(broadcast(cents), Seq("cid"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(sim < simThreshold, 1L).otherwise(0L)).as("stale"))
+      .head()
+    val total = row.getLong(0); val stale = row.getLong(1)
+    IvfStats(total, stale, if (total == 0) 0.0 else stale.toDouble / total)
+  }
+
   /** Top-k over a persisted IVF index (see [[buildIvfIndex]]); identical
     * output to [[ivfTopK]] with the same nlist (deterministic centroids). */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
