@@ -26,6 +26,14 @@ import graft.functions.{MinHashSig, SimHash64FromHashes, SortedIntersectCount, U
  *                                          long arrays (dedup verification)
  *  - minhash_sig(shingles, n)              n-slot MinHash signature
  *  - simhash64(hashes)                     64-bit SimHash of hashed tokens
+ *
+ * and one TABLE function:
+ *
+ *  - graft_snapshot(root, table[, version]) time travel over the snapshot
+ *    store (Iceberg's `VERSION AS OF` shape): resolves to the parquet scan
+ *    of exactly the files the chosen manifest references — version omitted
+ *    reads the latest committed snapshot. `SELECT * FROM
+ *    graft_snapshot('/store', 'warc_rows', 3)`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,5 +77,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash64",
       "simhash64(hashes) - 64-bit SimHash of an array<bigint> of token hashes", 1,
       args => SimHash64FromHashes(args.head))
+
+    // time-travel table function: the SQL door to SnapshotStore.readAt.
+    // Arguments must be plan-time literals (the manifest is resolved during
+    // analysis, like any table reference); the resulting plan is the plain
+    // parquet relation over the manifest's file list, so pushdown/pruning
+    // apply exactly as on a direct spark.read.parquet of those files.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(getClass.getName, null, "graft_snapshot",
+        "graft_snapshot(root, table[, version]) - read a snapshot table as of " +
+          "a committed version (latest when omitted)", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          s"graft_snapshot expects (root, table[, version]), got ${args.length} argument(s)")
+        def str(e: Expression, what: String): String = e match {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot $what must be a string literal, got $other")
+        }
+        val root = str(args(0), "root")
+        val table = str(args(1), "table")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val store = new graft.snapshot.SnapshotStore(root)
+        val df =
+          if (args.length == 3) args(2) match {
+            case Literal(v: Integer, _) =>
+              store.readAt(spark, table, v.intValue).getOrElse(
+                throw new IllegalArgumentException(
+                  s"graft_snapshot: no committed version ${v.intValue} holding " +
+                    s"table '$table' under $root (versions: ${store.versions.mkString(",")})"))
+            case other => throw new IllegalArgumentException(
+              s"graft_snapshot version must be an integer literal, got $other")
+          } else store.read(spark, table).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft_snapshot: no committed snapshot holds table '$table' under $root"))
+        df.queryExecution.logical
+      }))
   }
 }

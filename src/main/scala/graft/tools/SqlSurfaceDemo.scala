@@ -22,6 +22,16 @@ object SqlSurfaceDemo {
         |""".stripMargin).head()
     println(s"u=${r.getString(0)} d=${r.getString(1)} n=${r.getInt(3)} " +
       s"sig=${r.getSeq[Long](4).mkString(",")} sh=${r.getLong(5)}")
+
+    // time-travel table function over a two-version snapshot store
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapsqldemo").toString
+    val store = new graft.snapshot.SnapshotStore(root)
+    store.commit(0, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    store.commit(1, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    val v0 = spark.sql(s"SELECT count(*) FROM graft_snapshot('$root', 't', 0)").head().getLong(0)
+    val vLatest = spark.sql(s"SELECT count(*) FROM graft_snapshot('$root', 't')").head().getLong(0)
+    println(s"snapshot v0=$v0 latest=$vLatest")
     spark.stop()
   }
 }

@@ -47,6 +47,30 @@ class ExtensionsSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("graft_snapshot table function: SQL time travel over committed versions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapsql").toString
+    val store = new graft.snapshot.SnapshotStore(root)
+    store.commit(0, Map("warc_rows" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    store.commit(1, Map("warc_rows" -> Seq((3L, "c")).toDF("id", "v")))
+
+    // VERSION AS OF 0: only the first round's rows
+    val v0 = spark.sql(s"SELECT id, v FROM graft_snapshot('$root', 'warc_rows', 0) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v0 === Seq((1L, "a"), (2L, "b")))
+    // latest (append table): cumulative
+    val latest = spark.sql(s"SELECT count(*) FROM graft_snapshot('$root', 'warc_rows')").head().getLong(0)
+    assert(latest === 3L)
+    // filters still push into the underlying parquet scan
+    val one = spark.sql(s"SELECT v FROM graft_snapshot('$root', 'warc_rows', 1) WHERE id = 3").head()
+    assert(one.getString(0) === "c")
+    // unknown version fails loudly with the committed list
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot('$root', 'warc_rows', 99)").collect()
+    }
+    assert(e.getMessage.contains("99"), e.getMessage)
+  }
+
   test("SQL expressions codegen identically to the Scala API over a table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
