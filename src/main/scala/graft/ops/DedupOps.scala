@@ -138,6 +138,21 @@ object DedupOps {
     // the dominant CPU of this operator (measured 6.3 s of q23's 13.9 s at
     // sf0.1, x2 without the reuse) — computes once, and the join's required
     // distribution is already satisfied.
+    //
+    // REJECTED (measured, round 4): the set-similarity length filter
+    // (J <= min|A|,|B| / max|A|,|B|, exact-safe) carried as an int on the
+    // band rows pruned only 3.7% of candidates at sf0.1 (462,524 -> 445,177
+    // — near-dup corpora have near-equal set sizes by construction, and this
+    // one has a tight length distribution: p10=87, p90=311 shingles) while
+    // the distinct-shingle count added ~1.6 s to the signature pipeline
+    // (5.96 s -> 7.58 s warm, identical output hash; Q23Check/Q23Sel tools).
+    // Keep it in mind for corpora with heavy-tailed document lengths.
+    // ALSO REJECTED: a signature-agreement prefilter before exact verify.
+    // Every band-collision pair matches >= rowsPerBand consecutive slots by
+    // construction (the band IS a signature slice), so any cut below
+    // rows/numHashes prunes nothing, while a cut high enough to prune drops
+    // borderline-true pairs (P(matches < 8/32 | J = threshold 0.4) ~ 2.7%)
+    // — it cannot be output-identical, only the exact merge-walk is.
     val banded = withSig.select(
       col("id"),
       posexplode(array((0 until bandsCount).map(b =>
