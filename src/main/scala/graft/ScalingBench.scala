@@ -57,11 +57,53 @@ object ScalingBench {
     dir
   }
 
+  /** Wall-clock NOT covered by any running Spark job = the driver-serial
+    * fraction (planning, AQE re-optimization, job submission, driver-side
+    * bookkeeping between jobs) — the share a real 4N-executor cluster does
+    * NOT shrink by adding executors. Job intervals are merged (concurrent
+    * jobs overlap) and subtracted from the measured wall. */
+  private final class DriverGapListener extends org.apache.spark.scheduler.SparkListener {
+    private val intervals = scala.collection.mutable.Buffer[(Long, Long)]()
+    private val open = scala.collection.mutable.Map[Int, Long]()
+    var jobs = 0
+    var taskMs = 0L // Σ executor task wall — taskMs / busySecs = avg in-job parallelism
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      synchronized { open(js.jobId) = js.time; jobs += 1 }
+    override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      synchronized {
+        open.remove(je.jobId).foreach(s => intervals += ((s, je.time)))
+      }
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized { if (te.taskInfo != null) taskMs += te.taskInfo.duration }
+    /** Seconds covered by >=1 job within [w0, w1] (ms epoch). */
+    def busySecs(w0: Long, w1: Long): Double = synchronized {
+      val clipped = intervals.map { case (s, e) => (math.max(s, w0), math.min(e, w1)) }
+        .filter(t => t._2 > t._1).sortBy(_._1)
+      var busy = 0L; var curS = -1L; var curE = -1L
+      clipped.foreach { case (s, e) =>
+        if (s > curE) { if (curE > curS) busy += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curE > curS) busy += curE - curS
+      busy / 1e3
+    }
+  }
+
   /** One timed crawl over the parquet fixtures; returns (urls, wall seconds). */
   private def runOnce(spark: SparkSession, nPages: Long, nSeeds: Long,
                       rounds: Int, slots: Int): (Long, Double) = {
+    val gaps = sys.env.get("SPARK_GRAFT_BENCH_JOBGAPS").map { _ =>
+      val l = new DriverGapListener; spark.sparkContext.addSparkListener(l); l
+    }
+    def gcMs: Long = {
+      import scala.collection.JavaConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val gc0 = gcMs
     val dir = fixturesDir(spark, nPages, nSeeds)
     def rd(name: String) = spark.read.parquet(s"$dir/$name")
+    val w0 = System.currentTimeMillis()
     val t0 = System.nanoTime()
     val res = Crawl.run(spark, rd("pages"), rd("seeds"),
       Some(rd("robots")), Some(rd("dopp")), Some(rd("cdx")),
@@ -71,6 +113,16 @@ object ScalingBench {
     // force the full output (digesting, revisit construction) to materialize
     res.warcRows.write.format("noop").mode("overwrite").save()
     val secs = (System.nanoTime() - t0) / 1e9
+    gaps.foreach { l =>
+      // listener events are async; let the bus drain before reading
+      org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark.sparkContext)
+      val busy = l.busySecs(w0, System.currentTimeMillis())
+      println(f"JOBGAPS jobs=${l.jobs} wall=$secs%.1f busy=$busy%.1f " +
+        f"driverSerial=${secs - busy}%.1f (${100 * (secs - busy) / secs}%.1f%%) " +
+        f"taskSecs=${l.taskMs / 1e3}%.1f avgParallelism=${l.taskMs / 1e3 / busy}%.1f " +
+        f"gcSecs=${(gcMs - gc0) / 1e3}%.1f")
+      spark.sparkContext.removeSparkListener(l)
+    }
     (res.totalScheduled, secs)
   }
 
