@@ -546,6 +546,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- corpus-assembly ops: mixing, packing, decontamination (PipelineOps) ---
+
+    "q49_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q50_stratified_sample" -> ((s, dir) => {
+      // deterministic data mixing: per-language keep rates, decided by a
+      // portable md5-derived uniform — reproducible across engines/partitionings
+      graft.ops.PipelineOps.stratifiedSample(t(s, dir, "documents"),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "zh" -> 0.3), defaultRate = 0.05)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q51_sequence_pack" -> ((s, dir) => {
+      // concat-then-chunk packing onto 2048-token sequences; the global
+      // offset is a two-phase parallel prefix sum, not a one-partition window
+      graft.ops.PipelineOps.packSequences(t(s, dir, "documents"),
+        "doc_id", "doc_id", TextOps.tokenCount(col("text")), budget = 2048)
+        .orderBy("doc_id")
+    }),
+
+    "q52_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: flag documents sharing any word 8-gram
+      // with the "evaluation" slice (every 25th document)
+      val docs = t(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 25 === 0).select(col("text").as("eval_text"))
+      graft.ops.PipelineOps.contaminationFlags(docs, "doc_id", "text", eval, "eval_text", n = 8)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -936,6 +972,51 @@ object SparkEntry {
         |       CASE WHEN doc_id % 3 = 0 THEN 'quoted-' || doc_id || '.pdf'
         |            WHEN doc_id % 3 = 1 THEN 'bare-' || doc_id || '.bin'
         |            ELSE 'fallback-' || doc_id || '.html' END AS filename
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q49_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q50_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0
+        |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |                  WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.3 ELSE 0.05 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q51_sequence_pack" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |  c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM s)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 2048 AS seq_id,
+        |       start_offset % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q52_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |  g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(toks) - 7),
+        |                i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+        |                               toks[i+5], toks[i+6], toks[i+7], toks[i+8]))) END AS grams
+        |  FROM tok),
+        |  e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0),
+        |  d AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |  c AS (SELECT DISTINCT d.doc_id FROM d JOIN e USING (gram))
+        |SELECT doc_id, (doc_id IN (SELECT doc_id FROM c)) AS contaminated
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q48_dedup_clusters" ->

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-corpus assembly operators — the stage AFTER dedup/quality where a
+ * 100 TB pipeline turns a cleaned document pool into model-ready data:
+ *
+ *  - deterministic stratified sampling (data mixing by source/language quota)
+ *  - sequence packing (concatenate-then-chunk into fixed token budgets)
+ *  - benchmark decontamination (drop documents sharing n-grams with an
+ *    evaluation set)
+ *
+ * All three are deterministic (hash-derived, no RNG), cross-engine
+ * reproducible (DuckDB oracles in SparkEntry), and shuffle-lean: sampling is
+ * a pure map, packing shuffles (id, tokens) pairs once, decontamination
+ * ships 8-byte gram hashes only.
+ */
+object PipelineOps {
+
+  /** Uniform [0,1) deterministic in `c`'s STRING value via the first 8 md5
+    * hex digits — portable across engines (DuckDB: CAST('0x'||substr(md5,1,8)
+    * AS UBIGINT)), unlike xxhash64 which only Spark has. */
+  def hashUnit(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("double") / 4294967296.0
+
+  /**
+   * Deterministic stratified sampling (data mixing): keep each row with the
+   * probability its stratum's quota prescribes, decided by a hash of the
+   * row's own id — reproducible across runs, engines, and partitionings, and
+   * a pure narrow map (no shuffle, no RNG state). The standard mixture knob
+   * for multi-source corpora (e.g. {web: 0.3, code: 1.0, wiki: 3x-oversample
+   * via >1.0 handled as keep-all here — rates are capped at 1.0}).
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(keyCol) === k, lit(math.min(r, 1.0))).otherwise(acc)
+    }
+    df.filter(hashUnit(col(idCol)) < rate)
+  }
+
+  /**
+   * Sequence packing, concatenate-then-chunk (the GPT-style pretraining
+   * layout): documents in a fixed global order are laid end-to-end on a
+   * token tape; each document reports the training sequence its first token
+   * lands in (`seq_id = start_offset / budget`) and its offset inside that
+   * sequence. Downstream, one `groupBy(seq_id)` materializes the sequences.
+   *
+   * Scale: a single global cumulative sum is NOT one window over one
+   * partition (the classic scale-killer) — it is the two-phase parallel
+   * prefix sum: range-partition by the order column, per-partition running
+   * sums (window within partition), then per-partition TOTALS (one long per
+   * partition — the only driver-side data) prefix-summed and broadcast back.
+   * 100 TB of documents shuffle once as (id, order, tokens) triples.
+   */
+  def packSequences(df: DataFrame, idCol: String, orderCol: String,
+                    tokenCount: Column, budget: Int,
+                    numParts: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = df.select(col(idCol).as("id"), col(orderCol).as("ord"),
+        tokenCount.cast("long").as("toks"))
+      .repartitionByRange(p, col("ord"))
+      .sortWithinPartitions("ord")
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy("pid").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("local_cum", coalesce(sum(col("toks")).over(w), lit(0L)))
+    // per-partition totals: P longs — the prefix offsets of the tape
+    val totals = local.groupBy("pid").agg(sum(col("toks")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until p).map(i => (i, offsets(i))), 1))
+      .toDF("pid", "part_offset")
+    local.join(broadcast(offsetsDf), Seq("pid"))
+      .withColumn("start_offset", col("local_cum") + col("part_offset"))
+      .select(col("id").as(idCol), col("toks").as("n_tokens"),
+        col("start_offset"),
+        (col("start_offset") / budget).cast("long").as("seq_id"),
+        (col("start_offset") % budget).as("seq_offset"))
+  }
+
+  /**
+   * Benchmark decontamination: flag every document sharing at least one
+   * word n-gram with the evaluation corpus (the n-gram-overlap rule used for
+   * pretraining-set hygiene). Grams travel as 64-bit hashes — the flags are
+   * hash-independent output (a collision could only ADD a flag, at ~1e-19
+   * per gram pair), so the DuckDB string-gram oracle checks them exactly.
+   * The eval side is tiny in practice -> Catalyst broadcasts the semi-join;
+   * a corpus-sized eval set degrades gracefully to a shuffled semi-join on
+   * 8-byte keys.
+   */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, evalTextCol: String,
+                         n: Int = 8): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(TextOps.wordNgramHashesFromTokens(col("toks"), n))).as("g"))
+    val evalGrams = eval
+      .select(TextOps.tokens(col(evalTextCol)).as("toks"))
+      .select(explode(array_distinct(TextOps.wordNgramHashesFromTokens(col("toks"), n))).as("g"))
+      .distinct()
+    val contaminated = docGrams.join(evalGrams, Seq("g"), "left_semi")
+      .select("id").distinct().withColumn("contaminated", lit(true))
+    docs.join(contaminated, docs(idCol) === contaminated("id"), "left")
+      .drop("id")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+}

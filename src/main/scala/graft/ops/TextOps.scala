@@ -17,10 +17,19 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: word-piece regex splits on case/digit boundaries. */
+  /** BPE-ish subword count: word-piece regex splits on case/digit boundaries.
+    * (Java-regex-only: the lookarounds don't exist in RE2, so this variant has
+    * no DuckDB oracle — [[bpeTokenCount]] is the portable one.) */
   def subwordCount(text: Column): Column =
     size(filter(split(text, "[^\\p{L}\\p{N}]+|(?<=[a-z])(?=[A-Z])|(?<=\\p{L})(?=\\p{N})"),
       t => length(t) > 0))
+
+  /** GPT-2-shaped pretokenizer match count (contraction suffixes | letter
+    * runs | single digits | punctuation runs) — the standard pre-BPE token
+    * budget estimate. The pattern is deliberately RE2-compatible (no
+    * lookaround), so DuckDB runs the IDENTICAL regex as the oracle. */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =

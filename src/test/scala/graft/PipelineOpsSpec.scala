@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{PipelineOps, TextOps}
+
+/** Corpus-assembly operators: mixing, packing, decontamination. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("bpeTokenCount: GPT-2-shaped pretokenizer counts (hand-checked)") {
+    import spark.implicits._
+    val r = Seq(
+      "Hello's  world, 42 cats!", // Hello + 's + world + , + 4 + 2 + cats + ! = 8
+      "",                         // 0
+      "a-b")                      // a + - + b = 3
+      .toDF("t").select(TextOps.bpeTokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(r.toSeq === Seq(8, 0, 3))
+  }
+
+  test("stratifiedSample is deterministic, rate-faithful, and a pure filter") {
+    import spark.implicits._
+    val df = spark.range(10000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = PipelineOps.stratifiedSample(df, "lang", "doc_id", rates)
+    val s2 = PipelineOps.stratifiedSample(df.repartition(13), "lang", "doc_id", rates)
+    // identical keep set regardless of partitioning (no RNG state)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val byLang = s1.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5-uniform: binomial(5000, rate) stays well within 5 sigma
+    assert(math.abs(byLang("en") - 2500.0) < 200, byLang.toString)
+    assert(math.abs(byLang("de") - 500.0) < 120, byLang.toString)
+    // unlisted strata use the default rate (0.0 -> dropped entirely)
+    val none = PipelineOps.stratifiedSample(df, "lang", "doc_id", Map("fr" -> 1.0))
+    assert(none.count() === 0)
+  }
+
+  test("packSequences equals the one-window reference and respects the budget math") {
+    import spark.implicits._
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      (pmod(col("id") * 37, lit(90)) + 10).as("toks")) // 10..99 tokens each
+    val packed = PipelineOps.packSequences(docs, "doc_id", "doc_id",
+      col("toks"), budget = 256, numParts = 7)
+      .orderBy("doc_id").collect()
+    // reference: single global window (fine at test scale)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs.withColumn("start_offset", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("toks").cast("long").as("n_tokens"), col("start_offset"),
+        (col("start_offset") / 256).cast("long").as("seq_id"),
+        (col("start_offset") % 256).as("seq_offset"))
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.toString).toSeq === ref.map(_.toString).toSeq)
+    // tape invariants: offsets strictly increase by n_tokens; seq ids monotone
+    val rows = packed.map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+      r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    rows.sliding(2).foreach { case Array((n1, o1, _, _), (_, o2, _, _)) =>
+      assert(o2 === o1 + n1)
+    }
+    rows.foreach { case (_, o, sid, soff) =>
+      assert(sid === o / 256 && soff === o % 256)
+    }
+    // more partitions than rows still works (empty partitions contribute 0)
+    val tiny = PipelineOps.packSequences(docs.limit(3), "doc_id", "doc_id",
+      col("toks"), budget = 64, numParts = 16).orderBy("doc_id").collect()
+    assert(tiny.length === 3 && tiny.head.getAs[Long]("start_offset") === 0L)
+  }
+
+  test("contaminationFlags: shared 8-gram with the eval set flags the doc") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"prefix words $shared suffix words"),      // contains the eval 8-gram
+      (2L, "totally different text with many words here indeed"),
+      (3L, shared),                                    // exactly the gram
+      (4L, "one two three four five six seven"))       // 7 tokens: short-doc path, no match
+      .toDF("doc_id", "text")
+    val eval = Seq(s"an eval doc containing $shared inside it").toDF("eval_text")
+    val flags = PipelineOps.contaminationFlags(docs, "doc_id", "text", eval, "eval_text", n = 8)
+      .select("doc_id", "contaminated").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // short-doc identity: a <n-token eval doc contaminates its exact copy
+    val evalShort = Seq("tiny doc").toDF("eval_text")
+    val flags2 = PipelineOps.contaminationFlags(
+      Seq((1L, "tiny doc"), (2L, "tiny dog")).toDF("doc_id", "text"),
+      "doc_id", "text", evalShort, "eval_text", n = 8)
+      .select("doc_id", "contaminated").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags2 === Map(1L -> true, 2L -> false))
+  }
+}
