@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -52,10 +51,17 @@ object PipelineOps {
    *
    * Scale: a single global cumulative sum is NOT one window over one
    * partition (the classic scale-killer) — it is the two-phase parallel
-   * prefix sum: range-partition by the order column, per-partition running
-   * sums (window within partition), then per-partition TOTALS (one long per
-   * partition — the only driver-side data) prefix-summed and broadcast back.
-   * 100 TB of documents shuffle once as (id, order, tokens) triples.
+   * prefix sum: range-partition by the order column, a per-partition running
+   * sum, then per-partition TOTALS (one long per partition — the only
+   * driver-side data) prefix-summed and broadcast back. 100 TB of documents
+   * shuffle ONCE as (id, order, tokens) triples: the running sum is a
+   * per-partition imperative scan (`mapPartitionsWithIndex` — the genuine
+   * per-partition-sequential case), not a `Window.partitionBy(pid)`, which
+   * would re-shuffle the whole frame a second time because Catalyst cannot
+   * know rows are already grouped by physical partition (measured in the
+   * plan: an extra Exchange hashpartitioning(pid) + re-sort). The narrow
+   * cumsum frame is eagerly localCheckpoint'ed so the totals pass and the
+   * output projection share ONE computation of the scan+tokenize.
    */
   def packSequences(df: DataFrame, idCol: String, orderCol: String,
                     tokenCount: Column, budget: Int,
@@ -68,18 +74,29 @@ object PipelineOps {
         tokenCount.cast("long").as("toks"))
       .repartitionByRange(p, col("ord"))
       .sortWithinPartitions("ord")
-      .withColumn("pid", spark_partition_id())
-    val w = Window.partitionBy("pid").orderBy("ord")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parts.withColumn("local_cum", coalesce(sum(col("toks")).over(w), lit(0L)))
+    val schema = org.apache.spark.sql.types.StructType(parts.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("local_cum", org.apache.spark.sql.types.LongType, nullable = false)))
+    val toksIdx = parts.schema.fieldIndex("toks")
+    val withCum = spark.createDataFrame(
+      parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cum = 0L
+        it.map { r =>
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ cum)
+          cum += r.getLong(toksIdx)
+          out
+        }
+      }, schema)
+      .localCheckpoint(true) // narrow frame; totals + output share ONE compute
     // per-partition totals: P longs — the prefix offsets of the tape
-    val totals = local.groupBy("pid").agg(sum(col("toks")).as("t"))
+    val totals = withCum.groupBy("pid")
+      .agg(max(col("local_cum") + col("toks")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val offsetsDf = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until p).map(i => (i, offsets(i))), 1))
       .toDF("pid", "part_offset")
-    local.join(broadcast(offsetsDf), Seq("pid"))
+    withCum.join(broadcast(offsetsDf), Seq("pid"))
       .withColumn("start_offset", col("local_cum") + col("part_offset"))
       .select(col("id").as(idCol), col("toks").as("n_tokens"),
         col("start_offset"),
