@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash64",
       "simhash64(hashes) - 64-bit SimHash of an array<bigint> of token hashes", 1,
       args => SimHash64FromHashes(args.head))
+    register(ext, "http_payload",
+      "http_payload(block) - bytes after the first CRLFCRLF of a binary " +
+        "HTTP message (null if absent); the payload-digest cut", 1,
+      args => graft.warc.HttpPayload(args.head))
 
     // time-travel table function: the SQL door to SnapshotStore.readAt.
     // Arguments must be plan-time literals (the manifest is resolved during

@@ -54,10 +54,13 @@ object TrainingPipelineDemo {
       .filter(col("rn") === 1).drop("fp", "rn")
     val pairs = graft.ops.DedupOps.ngramJaccardPairs(uniq, "doc_id", "text",
       n = 2, threshold = 0.8, maxDocFreq = 50)
-    val clustered = graft.ops.DedupOps.connectedComponents(pairs)
+    // record ids are strings: hash them to long for cluster resolution (the
+    // documented connectedComponents contract), then join membership back
+    val hashedPairs = pairs.select(xxhash64(col("id_a")).as("id_a"), xxhash64(col("id_b")).as("id_b"))
+    val clustered = graft.ops.DedupOps.connectedComponents(hashedPairs)
     val keep = uniq.join(
-      clustered.filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      clustered.filter(col("id") =!= col("cluster_id")).select(col("id").as("hid")),
+      xxhash64(col("doc_id")) === col("hid"), "left_anti")
     println(s"dedup: ${docs.count()} -> ${uniq.count()} exact-unique -> ${keep.count()} after near-dup clusters")
 
     // 5) language + quality gate, then the training table
@@ -72,6 +75,20 @@ object TrainingPipelineDemo {
     println(s"training set: ${back.count()} docs, langs=" +
       back.groupBy("lang").count().orderBy("lang").collect()
         .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(","))
+
+    // 6) corpus assembly: decontaminate vs a held-out eval slice, mix by
+    // language quota, pack onto fixed token-budget sequences
+    val eval = back.orderBy("doc_id").limit(5).select(col("text").as("eval_text"))
+    val cleaned = graft.ops.PipelineOps
+      .contaminationFlags(back, "doc_id", "text", eval, "eval_text", n = 4)
+      .filter(!col("contaminated"))
+    val mixed = graft.ops.PipelineOps.stratifiedSample(cleaned, "lang", "doc_id",
+      Map("en" -> 1.0, "unknown" -> 0.5), defaultRate = 0.25)
+    val packed = graft.ops.PipelineOps.packSequences(mixed, "doc_id", "doc_id",
+      col("n_tokens"), budget = 512)
+    println(s"assembly: ${back.count()} -> ${cleaned.count()} decontaminated -> " +
+      s"${mixed.count()} mixed -> ${packed.agg(max(col("seq_id"))).head().getLong(0) + 1} " +
+      s"packed sequences of 512 tokens")
     spark.stop()
   }
 }

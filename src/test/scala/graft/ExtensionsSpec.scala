@@ -20,6 +20,11 @@ class ExtensionsSpec extends SparkSpec {
     // empty-payload blake3 matches the dedup guard list (dialer.go:84-89)
     assert(graft.functions.WarcDigest.EmptyDigests.contains(r.getString(3)))
     assert(r.getInt(4) === 2)
+    // the payload-digest cut is SQL-reachable too
+    val p = spark.sql(
+      "SELECT cast(http_payload(cast('HTTP/1.1 200 OK\r\nA: b\r\n\r\nBODY' AS BINARY)) AS STRING), " +
+        "http_payload(cast('no terminator' AS BINARY))").head()
+    assert(p.getString(0) === "BODY" && p.isNullAt(1))
   }
 
   test("sketch kernels are callable from SQL and match the Scala API") {
