@@ -582,6 +582,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q53_weighted_mix" -> ((s, dir) => {
+      // epoch mixture with OVERSAMPLING: weight 2.5 = two full copies plus a
+      // hash-decided half; deterministic per (doc_id, copy)
+      graft.ops.PipelineOps.mixWeighted(t(s, dir, "documents"),
+        "lang", "doc_id",
+        Map("en" -> 2.5, "de" -> 1.0, "zh" -> 0.0), defaultWeight = 0.25)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1018,6 +1028,21 @@ object SparkEntry {
         |  c AS (SELECT DISTINCT d.doc_id FROM d JOIN e USING (gram))
         |SELECT doc_id, (doc_id IN (SELECT doc_id FROM c)) AS contaminated
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q53_weighted_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+        |                   WHEN 'zh' THEN 0.0 ELSE 0.25 END AS wt
+        |  FROM documents),
+        |  c AS (
+        |  SELECT doc_id, lang, wt, unnest(range(CAST(ceil(wt) AS BIGINT))) AS copy
+        |  FROM w WHERE wt > 0)
+        |SELECT doc_id, lang, copy FROM c
+        |WHERE copy < floor(wt)
+        |   OR CAST(CAST('0x' || substr(md5(doc_id || ':' || copy), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0
+        |      < wt - floor(wt)
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

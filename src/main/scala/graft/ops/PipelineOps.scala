@@ -42,6 +42,39 @@ object PipelineOps {
     df.filter(hashUnit(col(idCol)) < rate)
   }
 
+  /** Uniform [0,1) deterministic in (id, copyIndex) — the per-copy coin for
+    * fractional oversampling. */
+  private def hashUnitCopy(id: Column, k: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"), k.cast("string"))), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+
+  /**
+   * Weighted corpus mixing WITH oversampling: weight w emits floor(w) full
+   * copies of each row plus one more with probability frac(w), decided by a
+   * hash of (id, copy index). The standard epoch-mixture tool (e.g.
+   * {wiki: 3.0, books: 2.5, web: 0.3}) — deterministic, engine-portable,
+   * and shuffle-free (a generate + filter, no RNG state). Output carries a
+   * `copy` column (0-based) so downstream packing/shuffling can interleave
+   * duplicates deterministically.
+   */
+  def mixWeighted(df: DataFrame, keyCol: String, idCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 0.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0, "weights must be >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(keyCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      // w = 0 must drop BEFORE the explode: Spark's sequence(0, -1) yields a
+      // DESCENDING [0, -1], not an empty array
+      .filter(col("__w") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), ceil(col("__w")).cast("long") - 1)))
+      .filter(col("copy") < floor(col("__w")) ||
+        hashUnitCopy(col(idCol), col("copy")) < col("__w") - floor(col("__w")))
+      .drop("__w")
+  }
+
   /**
    * Sequence packing, concatenate-then-chunk (the GPT-style pretraining
    * layout): documents in a fixed global order are laid end-to-end on a

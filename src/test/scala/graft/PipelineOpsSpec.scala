@@ -37,6 +37,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("mixWeighted oversamples: floor(w) guaranteed copies + hash-decided fraction") {
+    import spark.implicits._
+    val df = spark.range(6000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "wiki").when(col("id") % 3 === 1, "web").otherwise("zero").as("src"))
+    val mixed = PipelineOps.mixWeighted(df, "src", "doc_id",
+      Map("wiki" -> 2.5, "web" -> 0.3, "zero" -> 0.0))
+    val byCopy = mixed.groupBy("src", "copy").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // wiki (2000 rows, w=2.5): copies 0 and 1 complete, copy 2 ~ half
+    assert(byCopy(("wiki", 0L)) === 2000 && byCopy(("wiki", 1L)) === 2000)
+    assert(math.abs(byCopy(("wiki", 2L)) - 1000.0) < 150, byCopy.toString)
+    // web (w=0.3): single hash-gated copy
+    assert(math.abs(byCopy(("web", 0L)) - 600.0) < 120, byCopy.toString)
+    assert(!byCopy.contains(("web", 1L)))
+    // zero weight drops the stratum entirely (no descending-sequence leak)
+    assert(!byCopy.keySet.exists(_._1 == "zero"))
+    // deterministic under repartitioning
+    val again = PipelineOps.mixWeighted(df.repartition(17), "src", "doc_id",
+      Map("wiki" -> 2.5, "web" -> 0.3, "zero" -> 0.0))
+    assert(again.select("doc_id", "copy").collect().map(_.toString).sorted.toSeq ===
+      mixed.select("doc_id", "copy").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("packSequences equals the one-window reference and respects the budget math") {
     import spark.implicits._
     val docs = spark.range(500).select(col("id").as("doc_id"),
