@@ -82,6 +82,19 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(3) - expectRms) < 1e-4f)
   }
 
+  test("JPEG decodes through the same ImageIO path (lossy: dims exact, means close)") {
+    // encode a JPEG INDEPENDENTLY of the decode-under-test feature extractor
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x808080) // uniform gray
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK must ship a JPEG writer")
+    val f = Multimodal.JdkCodec.imageFeatures(bos.toByteArray, dim = 16)
+    assert(f != null, "JPEG bytes must decode")
+    assert(f(0) === 16.0f && f(1) === 8.0f)
+    // JPEG is lossy: channel means stay within a few units of the source
+    Seq(f(2), f(3), f(4)).foreach(m => assert(math.abs(m - 128.0f) < 6.0f, f.mkString(",")))
+  }
+
   test("undecodable bytes surface as null/ok=false, never exceptions") {
     assert(Multimodal.JdkCodec.imageFeatures("not a png".getBytes, 16) == null)
     assert(Multimodal.JdkCodec.audioFeatures("not a wav".getBytes, 8) == null)
