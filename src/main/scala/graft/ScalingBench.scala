@@ -92,6 +92,8 @@ object ScalingBench {
   /** One timed crawl over the parquet fixtures; returns (urls, wall seconds). */
   private def runOnce(spark: SparkSession, nPages: Long, nSeeds: Long,
                       rounds: Int, slots: Int): (Long, Double) = {
+    val dir = fixturesDir(spark, nPages, nSeeds) // BEFORE the listener: the
+    // fixture-build jobs (first run at a size) must not pollute jobs/taskMs
     val gaps = sys.env.get("SPARK_GRAFT_BENCH_JOBGAPS").map { _ =>
       val l = new DriverGapListener; spark.sparkContext.addSparkListener(l); l
     }
@@ -101,7 +103,6 @@ object ScalingBench {
         .asScala.map(_.getCollectionTime).sum
     }
     val gc0 = gcMs
-    val dir = fixturesDir(spark, nPages, nSeeds)
     def rd(name: String) = spark.read.parquet(s"$dir/$name")
     val w0 = System.currentTimeMillis()
     val t0 = System.nanoTime()
@@ -117,9 +118,10 @@ object ScalingBench {
       // listener events are async; let the bus drain before reading
       org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark.sparkContext)
       val busy = l.busySecs(w0, System.currentTimeMillis())
+      val avgPar = if (busy > 0) l.taskMs / 1e3 / busy else 0.0
       println(f"JOBGAPS jobs=${l.jobs} wall=$secs%.1f busy=$busy%.1f " +
         f"driverSerial=${secs - busy}%.1f (${100 * (secs - busy) / secs}%.1f%%) " +
-        f"taskSecs=${l.taskMs / 1e3}%.1f avgParallelism=${l.taskMs / 1e3 / busy}%.1f " +
+        f"taskSecs=${l.taskMs / 1e3}%.1f avgParallelism=$avgPar%.1f " +
         f"gcSecs=${(gcMs - gc0) / 1e3}%.1f")
       spark.sparkContext.removeSparkListener(l)
     }

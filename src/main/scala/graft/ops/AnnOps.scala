@@ -118,7 +118,8 @@ object AnnOps {
       throw new IllegalStateException(
         s"indexDir $indexDir already holds data: an IVF index version is " +
           "immutable once published (concurrent readers would race a " +
-          "rebuild) — build into a fresh directory per version")
+          "rebuild) — build into a fresh directory per version; " +
+          "appendToIvfIndex is the one sanctioned in-place mutation")
     val stage = new org.apache.hadoop.fs.Path(
       indexDir + s".building-${java.util.UUID.randomUUID()}")
     val cents = centroids(corpus, idCol, vecCol, nlist).cache()
@@ -140,13 +141,18 @@ object AnnOps {
    * `add` after `train`). The partition scheme is unchanged, so
    * [[ivfTopKIndexed]] keeps its dynamic partition pruning over old+new data.
    *
-   * Concurrency: the append publishes through Spark's parquet commit
-   * protocol (staged files, visible only after job commit), and a reader
-   * plans its file list once at query start — a racing query sees either the
-   * pre- or post-append snapshot, never partial files. As vectors drift from
-   * the frozen centroids, probe recall decays: watch [[ivfStaleness]] and
-   * rebuild (into a NEW version directory) past ~10-20%. Caller contract:
-   * ids are globally unique across appends (the index never dedupes).
+   * Concurrency: the append stages task files and publishes them at job
+   * commit, but the per-partition file moves are NOT one atomic rename — a
+   * reader that lists files DURING the commit window can observe some
+   * clusters with the new vectors and others without (a torn snapshot; it
+   * never sees half-written files, only an incomplete set). Readers that
+   * planned before the commit see the clean pre-append index. For strictly
+   * consistent serving, either quiesce queries across the append or build
+   * the augmented index into a fresh version directory with
+   * [[buildIvfIndex]]'s atomic publish and flip readers to it. As vectors
+   * drift from the frozen centroids, probe recall decays: watch
+   * [[ivfStaleness]] and rebuild past ~10-20%. Caller contract: ids are
+   * globally unique across appends (the index never dedupes).
    */
   def appendToIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                        indexDir: String): Unit = {
@@ -175,7 +181,8 @@ object AnnOps {
     val row = spark.read.parquet(s"$indexDir/assignments")
       .join(broadcast(cents), Seq("cid"))
       .agg(count(lit(1)).as("total"),
-        sum(when(sim < simThreshold, 1L).otherwise(0L)).as("stale"))
+        // sum over an empty relation is NULL, not 0
+        coalesce(sum(when(sim < simThreshold, 1L).otherwise(0L)), lit(0L)).as("stale"))
       .head()
     val total = row.getLong(0); val stale = row.getLong(1)
     IvfStats(total, stale, if (total == 0) 0.0 else stale.toDouble / total)

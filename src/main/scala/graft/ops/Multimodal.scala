@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  /** The one splitmix-style mixer both the video stub and the synthetic
+    * fixture derive pseudo-values from (kept single-sourced so they can
+    * never silently diverge). */
+  private[ops] def mix64(seed: Long, i: Long): Long = {
+    var h = seed ^ (i * 0x9e3779b97f4a7c15L)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+
   case class MediaRow(media_id: String, kind: String, bytes: Array[Byte],
                       mime: String, width: Int, height: Int, duration_ms: Long)
   case class MediaFeatures(media_id: String, kind: String, ok: Boolean,
@@ -145,11 +154,7 @@ object Multimodal {
    * `pseudoFeatures` for a JNI/javacpp decoder changes no plan shape.
    */
   object VideoStub {
-    private def mix(seed: Long, i: Int): Long = {
-      var h = seed ^ (i * 0x9e3779b97f4a7c15L)
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-      h
-    }
+    private def mix(seed: Long, i: Long): Long = Multimodal.mix64(seed, i)
     def bytesSeed(bytes: Array[Byte]): Long = {
       var h = 1125899906842597L
       var i = 0
@@ -174,11 +179,7 @@ object Multimodal {
    * REAL ImageIO/AudioSystem decode path instead of a fake.
    */
   object SyntheticMedia {
-    private def mix(seed: Long, i: Long): Long = {
-      var h = seed ^ (i * 0x9e3779b97f4a7c15L)
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-      h
-    }
+    private def mix(seed: Long, i: Long): Long = Multimodal.mix64(seed, i)
 
     def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
@@ -290,10 +291,11 @@ object Multimodal {
               val f = JdkCodec.audioFeatures(r.bytes, dim)
               if (f == null) bad
               else MediaFeatures(r.media_id, r.kind, ok = true, 0, 0, f, n_frames = 1)
-            case _ => // video: JDK has no codec -> documented stub kernel
+            case "video" => // JDK has no video codec -> documented stub kernel
               MediaFeatures(r.media_id, r.kind, ok = true, r.width, r.height,
                 VideoStub.pseudoFeatures(r.bytes, dim),
                 VideoStub.frameCount(r.duration_ms, fps = 2))
+            case _ => bad // unknown/null kind: never fabricate features
           }
         }
       }
@@ -356,7 +358,9 @@ object Multimodal {
               g.dispose()
               val bos = new java.io.ByteArrayOutputStream(r.bytes.length)
               javax.imageio.ImageIO.write(dst, "png", bos)
-              r.copy(bytes = bos.toByteArray, width = tw, height = th)
+              // re-encode is PNG regardless of the source codec: the mime
+              // column must follow the bytes or consumers dispatch wrongly
+              r.copy(bytes = bos.toByteArray, width = tw, height = th, mime = "image/png")
             }
           }
         }

@@ -150,18 +150,22 @@ object PipelineOps {
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
                          eval: DataFrame, evalTextCol: String,
                          n: Int = 8): DataFrame = {
+    // internal alias must not collide with a caller column: drop("id") would
+    // remove EVERY column named "id", including the document's own when
+    // idCol == "id"
+    val joinId = "__contam_id"
     val docGrams = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
+      .select(col(idCol).as(joinId), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(joinId),
         explode(array_distinct(TextOps.wordNgramHashesFromTokens(col("toks"), n))).as("g"))
     val evalGrams = eval
       .select(TextOps.tokens(col(evalTextCol)).as("toks"))
       .select(explode(array_distinct(TextOps.wordNgramHashesFromTokens(col("toks"), n))).as("g"))
       .distinct()
     val contaminated = docGrams.join(evalGrams, Seq("g"), "left_semi")
-      .select("id").distinct().withColumn("contaminated", lit(true))
-    docs.join(contaminated, docs(idCol) === contaminated("id"), "left")
-      .drop("id")
+      .select(joinId).distinct().withColumn("contaminated", lit(true))
+    docs.join(contaminated, docs(idCol) === contaminated(joinId), "left")
+      .drop(joinId)
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 }

@@ -45,8 +45,12 @@ class WarcMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = WarcSourceOffset(Seq.empty)
 
-  // driver-side, per-query-instance: each age-dropped file warns exactly once
+  // driver-side, per-query-instance: each age-dropped file warns exactly
+  // once. Size-capped: on a long-lived stream over a high-churn directory an
+  // unbounded path set is a driver leak — past the cap, drops are reported
+  // as a count instead of per path.
   private val warnedAgedOut = scala.collection.mutable.Set[String]()
+  private val WarnedCap = 10000
 
   override def latestOffset(): Offset = {
     val cutoff = System.currentTimeMillis() - maxFileAgeMs
@@ -54,12 +58,18 @@ class WarcMicroBatchStream(path: String, required: StructType,
       try WarcScan.listWarcFiles(fs, root)
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     val (fresh, aged) = listed.partition(_.getModificationTime >= cutoff)
-    aged.map(_.getPath.toString).filter(warnedAgedOut.add).foreach { p =>
+    val untracked = aged.map(_.getPath.toString).filterNot(warnedAgedOut.contains)
+    val (toTrack, overflow) = untracked.splitAt(
+      math.max(0, WarnedCap - warnedAgedOut.size))
+    toTrack.filter(warnedAgedOut.add).foreach { p =>
       logWarning(s"WARC stream file is older than maxFileAgeMs=$maxFileAgeMs " +
         s"and will NEVER be processed by this stream (restarting after " +
         s"downtime longer than the age window drops the interim files — " +
         s"backfill with the batch scan): $p")
     }
+    if (overflow.nonEmpty)
+      logWarning(s"WARC stream: ${overflow.size} additional file(s) aged out " +
+        s"this trigger beyond the $WarnedCap-path warning cap (not tracked per path)")
     WarcSourceOffset(fresh.map(_.getPath.toString))
   }
 

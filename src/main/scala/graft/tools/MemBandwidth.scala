@@ -28,14 +28,19 @@ object MemBandwidth {
         val t = new Thread(() => {
           var s = 0L
           var p = 0
-          val mask = a.length - 1 // length is a power of two
+          val len = a.length
           val random = sys.env.get("MEMBW_MODE").contains("random")
-          while (p < passes) {
+          val stride = 9999991 % len // conditional-subtract wrap: no pow-2
+          while (p < passes) {       // assumption, no per-access division
             if (random) {
               // large-prime stride defeats the prefetcher: every load is a
               // cache+TLB miss — the sort/hash-join access pattern
               var i = 0; var n = 0
-              while (n < a.length / 8) { s += a(i); i = (i + 9999991) & mask; n += 1 }
+              while (n < len / 8) {
+                s += a(i)
+                i += stride; if (i >= len) i -= len
+                n += 1
+              }
             } else {
               var i = 0
               while (i < a.length) { s += a(i); i += 8 } // stride 64 B: one line per load

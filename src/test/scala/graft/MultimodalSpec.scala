@@ -103,6 +103,12 @@ class MultimodalSpec extends SparkSpec {
       .toDF()
     val r = Multimodal.extractFeatures(spark, junk, dim = 16).collect()
     assert(r.length === 1 && !r(0).ok && r(0).features.isEmpty)
+    // an UNKNOWN kind must never fabricate features (only video/* is the
+    // sanctioned stub) — real WARC payloads will carry arbitrary kinds
+    val odd = Seq(Multimodal.MediaRow("m1", "text", "bytes".getBytes, "text/plain", 0, 0, 0L))
+      .toDF()
+    val r2 = Multimodal.extractFeatures(spark, odd, dim = 16).collect()
+    assert(r2.length === 1 && !r2(0).ok && r2(0).features.isEmpty)
   }
 
   test("synthetic media table carries REAL decodable bytes; features from pixels") {

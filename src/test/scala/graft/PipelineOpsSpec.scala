@@ -112,5 +112,11 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "contaminated").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(flags2 === Map(1L -> true, 2L -> false))
+    // a caller id column literally named "id" must survive (the internal
+    // join alias must not collide and drop it)
+    val withId = PipelineOps.contaminationFlags(
+      Seq((7L, "tiny doc")).toDF("id", "text"), "id", "text", evalShort, "eval_text", n = 8)
+    assert(withId.columns.contains("id"))
+    assert(withId.select("id", "contaminated").head().getLong(0) === 7L)
   }
 }
