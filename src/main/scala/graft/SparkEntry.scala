@@ -592,6 +592,14 @@ object SparkEntry {
         .orderBy("doc_id", "copy")
     }),
 
+    "q54_materialize_sequences" -> ((s, dir) => {
+      // the packing finisher: straddling documents split at sequence
+      // boundaries, exact 2048-token training sequences reassembled
+      graft.ops.PipelineOps.materializeSequences(t(s, dir, "documents"),
+        "doc_id", "doc_id", "text", budget = 2048)
+        .orderBy("seq_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1043,6 +1051,29 @@ object SparkEntry {
         |   OR CAST(CAST('0x' || substr(md5(doc_id || ':' || copy), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0
         |      < wt - floor(wt)
         |ORDER BY doc_id, copy""".stripMargin,
+
+    "q54_materialize_sequences" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |  c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM s),
+        |  k AS (
+        |  SELECT doc_id, toks, n, start_offset,
+        |         unnest(range(start_offset // 2048, (start_offset + n - 1) // 2048 + 1)) AS seq_id
+        |  FROM c WHERE n > 0),
+        |  p AS (
+        |  SELECT seq_id, start_offset,
+        |         list_slice(toks, CAST(greatest(seq_id*2048 - start_offset, 0) + 1 AS BIGINT),
+        |                    CAST(least(n, (seq_id+1)*2048 - start_offset) AS BIGINT)) AS part
+        |  FROM k)
+        |SELECT seq_id,
+        |       CAST(len(flatten(list(part ORDER BY start_offset))) AS BIGINT) AS n_tokens,
+        |       array_to_string(flatten(list(part ORDER BY start_offset)), ' ') AS text
+        |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

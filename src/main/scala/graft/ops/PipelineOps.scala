@@ -138,6 +138,42 @@ object PipelineOps {
   }
 
   /**
+   * Materialize the packed training sequences: split each document's token
+   * run at the sequence boundaries it straddles and reassemble exact
+   * `budget`-token sequences (the final text every sequence except the tape
+   * tail has EXACTLY `budget` tokens of, in document order). Downstream of
+   * [[packSequences]]: the explode emits one part per (doc, sequence)
+   * overlap — a document adds at most ceil(n/budget)+1 parts — and the
+   * reassembly shuffles by seq_id where every group is bounded by `budget`
+   * tokens, so no group can blow up a task regardless of corpus size.
+   */
+  def materializeSequences(df: DataFrame, idCol: String, orderCol: String,
+                           textCol: String, budget: Int,
+                           numParts: Int = 0): DataFrame = {
+    val toksDf = df.select(col(idCol).as("id"), col(orderCol).as("ord"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val packed = packSequences(toksDf, "id", "ord", size(col("toks")), budget, numParts)
+      .select(col("id"), col("n_tokens"), col("start_offset"))
+    val b = lit(budget.toLong)
+    val parts = packed.join(toksDf.select(col("id"), col("toks")), Seq("id"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_offset div $budget"),
+        expr(s"(start_offset + n_tokens - 1) div $budget"))))
+      .withColumn("p0", greatest(col("seq_id") * b - col("start_offset"), lit(0L)))
+      .withColumn("p1", least(col("n_tokens"), (col("seq_id") + 1) * b - col("start_offset")))
+      .select(col("seq_id"), col("start_offset").as("off"),
+        slice(col("toks"), (col("p0") + 1).cast("int"), (col("p1") - col("p0")).cast("int")).as("part"))
+    parts.groupBy("seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("off"), col("part")))),
+        s => s.getField("part"))).as("toks_seq"))
+      .select(col("seq_id"),
+        size(col("toks_seq")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks_seq")).as("text"))
+  }
+
+  /**
    * Benchmark decontamination: flag every document sharing at least one
    * word n-gram with the evaluation corpus (the n-gram-overlap rule used for
    * pretraining-set hygiene). Grams travel as 64-bit hashes — the flags are

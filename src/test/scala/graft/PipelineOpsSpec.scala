@@ -90,6 +90,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tiny.length === 3 && tiny.head.getAs[Long]("start_offset") === 0L)
   }
 
+  test("materializeSequences: exact-budget sequences reproducing the token tape") {
+    import spark.implicits._
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(lit(0), pmod(col("id") * 13, lit(40)) + 3), // 4..43 tokens
+        i => concat(lit("t"), col("id"), lit("_"), i))).as("text"))
+    val budget = 64
+    val seqs = PipelineOps.materializeSequences(docs, "doc_id", "doc_id", "text", budget)
+      .orderBy("seq_id").collect()
+    // every sequence except the last holds EXACTLY `budget` tokens
+    seqs.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") === budget.toLong,
+      s"seq ${r.getAs[Long]("seq_id")}"))
+    assert(seqs.last.getAs[Long]("n_tokens") <= budget.toLong)
+    // seq ids are dense from 0
+    assert(seqs.map(_.getAs[Long]("seq_id")).toSeq === seqs.indices.map(_.toLong))
+    // the concatenated stream is EXACTLY the doc-ordered token tape
+    val tape = docs.orderBy("doc_id").collect()
+      .flatMap(_.getString(1).split("\\s+")).mkString(" ")
+    assert(seqs.map(_.getAs[String]("text")).mkString(" ") === tape)
+  }
+
   test("contaminationFlags: shared 8-gram with the eval set flags the doc") {
     import spark.implicits._
     val shared = "one two three four five six seven eight"
