@@ -98,19 +98,24 @@ object PipelineOps {
    */
   def packSequences(df: DataFrame, idCol: String, orderCol: String,
                     tokenCount: Column, budget: Int,
-                    numParts: Int = 0): DataFrame = {
+                    numParts: Int = 0,
+                    carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val reserved = Set(idCol, "n_tokens", "start_offset", "seq_id", "seq_offset")
+    require(carryCols.forall(!reserved.contains(_)),
+      s"carryCols may not collide with output columns $reserved")
     val spark = df.sparkSession
     val p = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val parts = df.select(col(idCol).as("id"), col(orderCol).as("ord"),
-        tokenCount.cast("long").as("toks"))
-      .repartitionByRange(p, col("ord"))
-      .sortWithinPartitions("ord")
+    // internal names never collide with caller columns (carry may be "toks")
+    val parts = df.select(Seq(col(idCol).as("__pk_id"), col(orderCol).as("__pk_ord"),
+        tokenCount.cast("long").as("__pk_toks")) ++ carryCols.map(col): _*)
+      .repartitionByRange(p, col("__pk_ord"))
+      .sortWithinPartitions("__pk_ord")
     val schema = org.apache.spark.sql.types.StructType(parts.schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("local_cum", org.apache.spark.sql.types.LongType, nullable = false)))
-    val toksIdx = parts.schema.fieldIndex("toks")
+      org.apache.spark.sql.types.StructField("__pk_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__pk_cum", org.apache.spark.sql.types.LongType, nullable = false)))
+    val toksIdx = parts.schema.fieldIndex("__pk_toks")
     val withCum = spark.createDataFrame(
       parts.rdd.mapPartitionsWithIndex { (pid, it) =>
         var cum = 0L
@@ -122,19 +127,19 @@ object PipelineOps {
       }, schema)
       .localCheckpoint(true) // narrow frame; totals + output share ONE compute
     // per-partition totals: P longs — the prefix offsets of the tape
-    val totals = withCum.groupBy("pid")
-      .agg(max(col("local_cum") + col("toks")).as("t"))
+    val totals = withCum.groupBy("__pk_pid")
+      .agg(max(col("__pk_cum") + col("__pk_toks")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val offsetsDf = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until p).map(i => (i, offsets(i))), 1))
-      .toDF("pid", "part_offset")
-    withCum.join(broadcast(offsetsDf), Seq("pid"))
-      .withColumn("start_offset", col("local_cum") + col("part_offset"))
-      .select(col("id").as(idCol), col("toks").as("n_tokens"),
+      .toDF("__pk_pid", "__pk_part_offset")
+    withCum.join(broadcast(offsetsDf), Seq("__pk_pid"))
+      .withColumn("start_offset", col("__pk_cum") + col("__pk_part_offset"))
+      .select(Seq(col("__pk_id").as(idCol), col("__pk_toks").as("n_tokens"),
         col("start_offset"),
-        (col("start_offset") / budget).cast("long").as("seq_id"),
-        (col("start_offset") % budget).as("seq_offset"))
+        expr(s"start_offset div $budget").as("seq_id"),
+        (col("start_offset") % budget).as("seq_offset")) ++ carryCols.map(col): _*)
   }
 
   /**
@@ -150,12 +155,15 @@ object PipelineOps {
   def materializeSequences(df: DataFrame, idCol: String, orderCol: String,
                            textCol: String, budget: Int,
                            numParts: Int = 0): DataFrame = {
+    // the token arrays ride THROUGH the pack shuffle as a carry column: one
+    // scan + one range exchange, instead of tokenizing twice and joining the
+    // arrays back by id (which would shuffle them anyway)
     val toksDf = df.select(col(idCol).as("id"), col(orderCol).as("ord"),
       TextOps.tokens(col(textCol)).as("toks"))
-    val packed = packSequences(toksDf, "id", "ord", size(col("toks")), budget, numParts)
-      .select(col("id"), col("n_tokens"), col("start_offset"))
+    val packed = packSequences(toksDf, "id", "ord", size(col("toks")), budget,
+      numParts, carryCols = Seq("toks"))
     val b = lit(budget.toLong)
-    val parts = packed.join(toksDf.select(col("id"), col("toks")), Seq("id"))
+    val parts = packed
       .filter(col("n_tokens") > 0)
       .withColumn("seq_id", explode(sequence(
         expr(s"start_offset div $budget"),
