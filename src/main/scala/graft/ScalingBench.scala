@@ -151,10 +151,13 @@ object ScalingBench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq
     // identical plan at every level: shuffle partitions and politeness slots
-    // fixed (at 4x max cores for wave balance) so only scheduling-onto-cores
-    // differs between levels
+    // fixed so only scheduling-onto-cores differs between levels. 8x max
+    // cores (round 4, measured): smaller tasks shrink per-task working sets,
+    // relieving the shared-L3 spill that dominates high-core scaling on this
+    // box — 256 parts beat the old 128 at BOTH 8 cores (53.6 vs 55-57.5 s)
+    // and 32 cores (36.8 vs 47.7-49.5 s); 512 over-fragments (77.9 s at 8).
     val shuffleParts = sys.env.get("SPARK_GRAFT_BENCH_PARTS").map(_.toInt)
-      .getOrElse(math.max(levels.max * 4, 64))
+      .getOrElse(math.max(levels.max * 8, 64))
     val slots = shuffleParts
 
     // pinned-run mode: one level per JVM (driven under `taskset -c 0..N-1` so
