@@ -382,6 +382,25 @@ object DedupOps {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /**
+   * Keep ONE representative per near-dup cluster: resolve the pair graph
+   * into components and drop every member that is not its cluster's
+   * representative. Ids of any type: both sides are hashed with xxhash64
+   * for the label propagation (type-agnostic; pairs must carry ids of the
+   * SAME type/values as `df`'s idCol), so the representative is the member
+   * with the minimal hashed id — deterministic, and a 64-bit collision can
+   * at worst drop one extra document (~2^-64 per pair). Documents appearing
+   * in no pair always survive.
+   */
+  def keepClusterRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
+                                 aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val hashed = pairs.select(xxhash64(col(aCol)).as("id_a"), xxhash64(col(bCol)).as("id_b"))
+    val dropIds = connectedComponents(hashed)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__cluster_drop_hid"))
+    df.join(dropIds, xxhash64(col(idCol)) === col("__cluster_drop_hid"), "left_anti")
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i). */

@@ -54,13 +54,9 @@ object TrainingPipelineDemo {
       .filter(col("rn") === 1).drop("fp", "rn")
     val pairs = graft.ops.DedupOps.ngramJaccardPairs(uniq, "doc_id", "text",
       n = 2, threshold = 0.8, maxDocFreq = 50)
-    // record ids are strings: hash them to long for cluster resolution (the
-    // documented connectedComponents contract), then join membership back
-    val hashedPairs = pairs.select(xxhash64(col("id_a")).as("id_a"), xxhash64(col("id_b")).as("id_b"))
-    val clustered = graft.ops.DedupOps.connectedComponents(hashedPairs)
-    val keep = uniq.join(
-      clustered.filter(col("id") =!= col("cluster_id")).select(col("id").as("hid")),
-      xxhash64(col("doc_id")) === col("hid"), "left_anti")
+    // one representative per near-dup cluster (string record ids fine —
+    // the helper hashes both sides consistently)
+    val keep = graft.ops.DedupOps.keepClusterRepresentatives(uniq, pairs, "doc_id")
     println(s"dedup: ${docs.count()} -> ${uniq.count()} exact-unique -> ${keep.count()} after near-dup clusters")
 
     // 5) language + quality gate, then the training table

@@ -110,6 +110,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(ok === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("keepClusterRepresentatives: one survivor per component, singletons intact") {
+    import spark.implicits._
+    val docs = Seq("a", "b", "c", "d", "e", "lone").toDF("doc_id")
+    // two components: {a,b,c} (chain) and {d,e}; "lone" appears in no pair
+    val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
+    val kept = DedupOps.keepClusterRepresentatives(docs, pairs, "doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(kept.size === 3) // one per component + the singleton
+    assert(kept.contains("lone"))
+    assert(kept.count(Set("a", "b", "c")) === 1)
+    assert(kept.count(Set("d", "e")) === 1)
+    // deterministic: same survivors on a reshuffled input
+    val again = DedupOps.keepClusterRepresentatives(docs.repartition(5), pairs, "doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(again === kept)
+  }
+
   test("ngram jaccard exact mode (maxDocFreq<=0) matches brute force") {
     import spark.implicits._
     val docs = Seq(
