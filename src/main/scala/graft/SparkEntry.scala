@@ -993,9 +993,11 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q49_bpe_tokens" ->
+      // whitespace spelled out, not \s: Java's \s includes \x0B, RE2's does
+      // not — the explicit class is the one regex both engines agree on
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text,
-        |         '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |         '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q50_stratified_sample" ->

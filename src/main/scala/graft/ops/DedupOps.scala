@@ -394,7 +394,16 @@ object DedupOps {
    */
   def keepClusterRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
                                  aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val hashed = pairs.select(xxhash64(col(aCol)).as("id_a"), xxhash64(col(bCol)).as("id_b"))
+    // xxhash64(NULL) is a CONSTANT (the seed) — null pair ids would all hash
+    // to one phantom vertex and merge unrelated clusters, silently undoing
+    // the null-vertex guard connectedComponents enforces. Fail loudly first.
+    def hashedNonNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"keepClusterRepresentatives: null $what id (nulls would merge " +
+          "unrelated clusters through one phantom hash vertex)")))
+        .otherwise(xxhash64(c))
+    val hashed = pairs.select(hashedNonNull(col(aCol), aCol).as("id_a"),
+      hashedNonNull(col(bCol), bCol).as("id_b"))
     val dropIds = connectedComponents(hashed)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__cluster_drop_hid"))

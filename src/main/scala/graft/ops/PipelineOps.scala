@@ -43,10 +43,9 @@ object PipelineOps {
   }
 
   /** Uniform [0,1) deterministic in (id, copyIndex) — the per-copy coin for
-    * fractional oversampling. */
+    * fractional oversampling (same portable formula as [[hashUnit]]). */
   private def hashUnitCopy(id: Column, k: Column): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":"), k.cast("string"))), 1, 8),
-      16, 10).cast("double") / 4294967296.0
+    hashUnit(concat(id.cast("string"), lit(":"), k.cast("string")))
 
   /**
    * Weighted corpus mixing WITH oversampling: weight w emits floor(w) full
@@ -61,6 +60,8 @@ object PipelineOps {
                   weights: Map[String, Double],
                   defaultWeight: Double = 0.0): DataFrame = {
     require(weights.values.forall(_ >= 0) && defaultWeight >= 0, "weights must be >= 0")
+    require(!df.columns.contains("copy") && !df.columns.contains("__w"),
+      "mixWeighted reserves the 'copy' (output) and '__w' (internal) column names")
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
       when(col(keyCol) === k, lit(v)).otherwise(acc)
     }
@@ -108,10 +109,20 @@ object PipelineOps {
     val p = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // internal names never collide with caller columns (carry may be "toks")
+    // null token counts (e.g. a NULL text row under ANSI size()) contribute
+    // zero tokens instead of NPE-ing the per-partition scan; negatives would
+    // silently corrupt every later offset, so they fail loudly
+    val toksExpr = coalesce(tokenCount.cast("long"), lit(0L))
+    val guarded = when(toksExpr < 0, raise_error(concat(
+      lit("packSequences: negative token count for id "), col(idCol).cast("string"))))
+      .otherwise(toksExpr)
+    // secondary key id: ties in orderCol would otherwise land on
+    // sampling-dependent sides of range boundaries, breaking run-to-run
+    // determinism of the tape (ids are unique by contract)
     val parts = df.select(Seq(col(idCol).as("__pk_id"), col(orderCol).as("__pk_ord"),
-        tokenCount.cast("long").as("__pk_toks")) ++ carryCols.map(col): _*)
-      .repartitionByRange(p, col("__pk_ord"))
-      .sortWithinPartitions("__pk_ord")
+        guarded.as("__pk_toks")) ++ carryCols.map(col): _*)
+      .repartitionByRange(p, col("__pk_ord"), col("__pk_id"))
+      .sortWithinPartitions("__pk_ord", "__pk_id")
     val schema = org.apache.spark.sql.types.StructType(parts.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("__pk_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("__pk_cum", org.apache.spark.sql.types.LongType, nullable = false)))
@@ -206,10 +217,13 @@ object PipelineOps {
       .select(TextOps.tokens(col(evalTextCol)).as("toks"))
       .select(explode(array_distinct(TextOps.wordNgramHashesFromTokens(col("toks"), n))).as("g"))
       .distinct()
+    // the flag rides under an internal name until the final withColumn so a
+    // pre-existing `contaminated` column (this op's own output re-piped
+    // against a second eval set) is REPLACED instead of becoming ambiguous
     val contaminated = docGrams.join(evalGrams, Seq("g"), "left_semi")
-      .select(joinId).distinct().withColumn("contaminated", lit(true))
+      .select(joinId).distinct().withColumn("__contam_flag", lit(true))
     docs.join(contaminated, docs(idCol) === contaminated(joinId), "left")
-      .drop(joinId)
-      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("contaminated", coalesce(col("__contam_flag"), lit(false)))
+      .drop(joinId, "__contam_flag")
   }
 }

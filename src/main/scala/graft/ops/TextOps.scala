@@ -27,8 +27,10 @@ object TextOps {
   /** GPT-2-shaped pretokenizer match count (contraction suffixes | letter
     * runs | single digits | punctuation runs) — the standard pre-BPE token
     * budget estimate. The pattern is deliberately RE2-compatible (no
-    * lookaround), so DuckDB runs the IDENTICAL regex as the oracle. */
-  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+    * lookaround) AND avoids `\s`, whose class differs between engines
+    * (Java includes vertical tab \x0B, RE2 does not) — the whitespace set
+    * is spelled out so DuckDB runs the IDENTICAL regex as the oracle. */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]+"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
   /** Punctuation character ratio. */

@@ -82,9 +82,9 @@ object TrainingPipelineDemo {
       Map("en" -> 1.0, "unknown" -> 0.5), defaultRate = 0.25)
     val packed = graft.ops.PipelineOps.packSequences(mixed, "doc_id", "doc_id",
       col("n_tokens"), budget = 512)
+    val nSeqs = packed.agg(coalesce(max(col("seq_id")) + 1, lit(0L))).head().getLong(0)
     println(s"assembly: ${back.count()} -> ${cleaned.count()} decontaminated -> " +
-      s"${mixed.count()} mixed -> ${packed.agg(max(col("seq_id"))).head().getLong(0) + 1} " +
-      s"packed sequences of 512 tokens")
+      s"${mixed.count()} mixed -> $nSeqs packed sequences of 512 tokens")
     spark.stop()
   }
 }
