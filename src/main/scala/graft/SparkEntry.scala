@@ -600,6 +600,23 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    "q55_gopher_signals" -> ((s, dir) => {
+      // Gopher/C4 repetition + shape filters; toks/lines staged ONCE as
+      // attributes (HOF-recompute discipline)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"),
+        TextOps.docLines(col("text")).as("lines"))
+      d.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(TextOps.dupLineFraction(col("lines")), 4).as("dup_line_frac"),
+        round(TextOps.dupNgramFraction(col("toks"), 2), 4).as("dup_2gram_frac"),
+        round(TextOps.ellipsisLineFraction(col("lines")), 4).as("ellipsis_frac"),
+        round(TextOps.alphaWordFraction(col("toks")), 4).as("alpha_frac"),
+        round(TextOps.meanWordLength(col("toks")), 4).as("mean_word_len"),
+        TextOps.gopherPass(col("toks"), col("lines")).as("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1076,6 +1093,45 @@ object SparkEntry {
         |       CAST(len(flatten(list(part ORDER BY start_offset))) AS BIGINT) AS n_tokens,
         |       array_to_string(flatten(list(part ORDER BY start_offset)), ' ') AS text
         |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "q55_gopher_signals" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+        |         list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines
+        |  FROM documents),
+        |  g AS (
+        |  SELECT doc_id, toks, lines,
+        |         CASE WHEN len(toks) < 2 THEN []
+        |              ELSE list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS grams
+        |  FROM s),
+        |  m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CASE WHEN len(lines) = 0 THEN 0.0
+        |              ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END AS dup_line_frac,
+        |         CASE WHEN len(grams) = 0 THEN 0.0
+        |              ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) END AS dup_2gram_frac,
+        |         CASE WHEN len(lines) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(lines, x -> trim(x) LIKE '%...')) AS DOUBLE) / len(lines) END AS ellipsis_frac,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mean_word_len
+        |  FROM g)
+        |SELECT doc_id, n_words,
+        |       round(dup_line_frac, 4) AS dup_line_frac,
+        |       round(dup_2gram_frac, 4) AS dup_2gram_frac,
+        |       round(ellipsis_frac, 4) AS ellipsis_frac,
+        |       round(alpha_frac, 4) AS alpha_frac,
+        |       round(mean_word_len, 4) AS mean_word_len,
+        |       (n_words BETWEEN 50 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND alpha_frac > 0.8
+        |        AND ellipsis_frac < 0.3
+        |        AND dup_line_frac < 0.3
+        |        AND dup_2gram_frac < 0.4) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

@@ -81,6 +81,56 @@ object TextOps {
       .otherwise(best.getField("lang"))
   }
 
+  // ---- Gopher/C4-style repetition + shape signals (Rae et al. 2021 §A1.1,
+  // Raffel et al. 2020 §2.2) — each takes PRE-STAGED line/token attributes
+  // (the Catalyst HOF rule: stage intermediates once, never inline an
+  // expensive parent expression into several consumers) ----
+
+  /** Non-blank lines of a document. */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of lines that repeat an earlier line (duplicate-line rate). */
+  def dupLineFraction(lines: Column): Column =
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+
+  /** Fraction of word n-grams that are repeats WITHIN the document. */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val grams = wordNgramHashesFromTokens(toks, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+  }
+
+  /** Fraction of lines ending in an ellipsis (Gopher's "..." rule). */
+  def ellipsisLineFraction(lines: Column): Column =
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => trim(l).endsWith("..."))).cast("double") / size(lines))
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def alphaWordFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks))
+
+  /** Mean word length (0 for empty docs). */
+  def meanWordLength(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** The composed Gopher-style gate over staged signals (defaults are the
+    * published thresholds; size the word band to the corpus). */
+  def gopherPass(toks: Column, lines: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minAlphaFrac: Double = 0.8, maxEllipsisFrac: Double = 0.3,
+                 maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.4): Column =
+    size(toks).between(minWords, maxWords) &&
+      meanWordLength(toks).between(minMeanLen, maxMeanLen) &&
+      alphaWordFraction(toks) > minAlphaFrac &&
+      ellipsisLineFraction(lines) < maxEllipsisFrac &&
+      dupLineFraction(lines) < maxDupLineFrac &&
+      dupNgramFraction(toks, 2) < maxDupNgramFrac
+
   /**
    * Quality score in [0,1]: length band + punctuation sanity + stopword
    * presence + mean token length band — the standard cheap pre-filter

@@ -111,6 +111,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(seqs.map(_.getAs[String]("text")).mkString(" ") === tape)
   }
 
+  test("gopher signals: hand-computed repetition and shape fractions") {
+    import spark.implicits._
+    // lines: 4, one duplicated (0.25), one ellipsis-terminated (0.25)
+    // tokens: 11 incl "..." (alpha 10/11); 2-grams: 10, two repeats (0.2)
+    val text = "aa bb aa bb\nxx yy\nxx yy\nfoo bar ..."
+    val d = Seq(text).toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"), TextOps.docLines(col("text")).as("lines"))
+    val r = d.select(
+      TextOps.dupLineFraction(col("lines")),
+      TextOps.dupNgramFraction(col("toks"), 2),
+      TextOps.ellipsisLineFraction(col("lines")),
+      TextOps.alphaWordFraction(col("toks")),
+      TextOps.meanWordLength(col("toks")),
+      TextOps.gopherPass(col("toks"), col("lines"))).head()
+    assert(r.getDouble(0) === 0.25)
+    assert(r.getDouble(1) === 0.2)
+    assert(r.getDouble(2) === 0.25)
+    assert(math.abs(r.getDouble(3) - 10.0 / 11) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 25.0 / 11) < 1e-9)
+    assert(!r.getBoolean(5)) // 11 words < the 50-word Gopher floor
+    // a clean 60-word document passes the published gate
+    val clean = (0 until 60).map(i => s"word$i").mkString(" ")
+    val ok = Seq(clean).toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"), TextOps.docLines(col("text")).as("lines"))
+      .select(TextOps.gopherPass(col("toks"), col("lines"))).head().getBoolean(0)
+    assert(ok)
+    // empty doc: every signal 0, gate false, no division blowups
+    val empty = Seq("").toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"), TextOps.docLines(col("text")).as("lines"))
+      .select(TextOps.dupLineFraction(col("lines")), TextOps.meanWordLength(col("toks")),
+        TextOps.gopherPass(col("toks"), col("lines"))).head()
+    assert(empty.getDouble(0) === 0.0 && empty.getDouble(1) === 0.0 && !empty.getBoolean(2))
+  }
+
   test("contaminationFlags: shared 8-gram with the eval set flags the doc") {
     import spark.implicits._
     val shared = "one two three four five six seven eight"
