@@ -601,19 +601,29 @@ object SparkEntry {
     }),
 
     "q55_gopher_signals" -> ((s, dir) => {
-      // Gopher/C4 repetition + shape filters; toks/lines staged ONCE as
-      // attributes (HOF-recompute discipline)
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      // Gopher/C4 repetition + shape filters; toks/lines/grams staged ONCE
+      // as attributes, each signal computed once, the gate composed from the
+      // signal COLUMNS (HOF-recompute discipline, twice over)
+      val staged = t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokens(col("text")).as("toks"),
         TextOps.docLines(col("text")).as("lines"))
-      d.select(col("doc_id"),
+        .withColumn("grams", TextOps.wordNgramHashesFromTokens(col("toks"), 2))
+      val signals = staged.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
-        round(TextOps.dupLineFraction(col("lines")), 4).as("dup_line_frac"),
-        round(TextOps.dupNgramFraction(col("toks"), 2), 4).as("dup_2gram_frac"),
-        round(TextOps.ellipsisLineFraction(col("lines")), 4).as("ellipsis_frac"),
-        round(TextOps.alphaWordFraction(col("toks")), 4).as("alpha_frac"),
-        round(TextOps.meanWordLength(col("toks")), 4).as("mean_word_len"),
-        TextOps.gopherPass(col("toks"), col("lines")).as("gopher_pass"))
+        TextOps.dupLineFraction(col("lines")).as("dup_line_frac"),
+        TextOps.dupFraction(col("grams")).as("dup_2gram_frac"),
+        TextOps.ellipsisLineFraction(col("lines")).as("ellipsis_frac"),
+        TextOps.alphaWordFraction(col("toks")).as("alpha_frac"),
+        TextOps.meanWordLength(col("toks")).as("mean_word_len"))
+      signals.select(col("doc_id"), col("n_words"),
+        round(col("dup_line_frac"), 4).as("dup_line_frac"),
+        round(col("dup_2gram_frac"), 4).as("dup_2gram_frac"),
+        round(col("ellipsis_frac"), 4).as("ellipsis_frac"),
+        round(col("alpha_frac"), 4).as("alpha_frac"),
+        round(col("mean_word_len"), 4).as("mean_word_len"),
+        TextOps.gopherPassFromSignals(col("n_words"), col("mean_word_len"),
+          col("alpha_frac"), col("ellipsis_frac"), col("dup_line_frac"),
+          col("dup_2gram_frac")).as("gopher_pass"))
         .orderBy("doc_id")
     }),
 

@@ -90,17 +90,23 @@ object TextOps {
   def docLines(text: Column): Column =
     filter(split(text, "\n"), l => length(trim(l)) > 0)
 
-  /** Fraction of lines that repeat an earlier line (duplicate-line rate). */
-  def dupLineFraction(lines: Column): Column =
-    when(size(lines) === 0, lit(0.0)).otherwise(
-      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  /** Fraction of elements of a STAGED array that repeat an earlier element.
+    * The argument must be an attribute: an inline array expression here
+    * would re-evaluate three times (size twice + distinct). */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0)).otherwise(
+      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
 
-  /** Fraction of word n-grams that are repeats WITHIN the document. */
-  def dupNgramFraction(toks: Column, n: Int): Column = {
-    val grams = wordNgramHashesFromTokens(toks, n)
-    when(size(grams) === 0, lit(0.0)).otherwise(
-      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
-  }
+  /** Fraction of lines that repeat an earlier line (duplicate-line rate). */
+  def dupLineFraction(lines: Column): Column = dupFraction(lines)
+
+  /** Fraction of word n-grams that are repeats WITHIN the document.
+    * Convenience over a toks attribute; pipelines computing several signals
+    * should stage `wordNgramHashesFromTokens(toks, n)` once and call
+    * [[dupFraction]] on the attribute instead (this form expands the gram
+    * array three times). */
+  def dupNgramFraction(toks: Column, n: Int): Column =
+    dupFraction(wordNgramHashesFromTokens(toks, n))
 
   /** Fraction of lines ending in an ellipsis (Gopher's "..." rule). */
   def ellipsisLineFraction(lines: Column): Column =
@@ -117,8 +123,26 @@ object TextOps {
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
 
-  /** The composed Gopher-style gate over staged signals (defaults are the
-    * published thresholds; size the word band to the corpus). */
+  /** The Gopher gate from ALREADY-COMPUTED signal columns (defaults are the
+    * published thresholds) — the form a signals pipeline composes so each
+    * signal evaluates once. */
+  def gopherPassFromSignals(nWords: Column, meanLen: Column, alphaFrac: Column,
+                            ellipsisFrac: Column, dupLineFrac: Column,
+                            dupNgramFrac: Column,
+                            minWords: Int = 50, maxWords: Int = 100000,
+                            minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                            minAlphaFrac: Double = 0.8, maxEllipsisFrac: Double = 0.3,
+                            maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.4): Column =
+    nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      alphaFrac > minAlphaFrac &&
+      ellipsisFrac < maxEllipsisFrac &&
+      dupLineFrac < maxDupLineFrac &&
+      dupNgramFrac < maxDupNgramFrac
+
+  /** Convenience gate over staged toks/lines attributes. Each signal
+    * expression inlines here, so prefer computing the signals as columns and
+    * calling [[gopherPassFromSignals]] when you also OUTPUT the signals. */
   def gopherPass(toks: Column, lines: Column,
                  minWords: Int = 50, maxWords: Int = 100000,
                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
