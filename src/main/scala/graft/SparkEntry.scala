@@ -1108,7 +1108,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
-        |         list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines
+        |         list_filter(string_split_regex(text, '\r?\n'), x -> len(trim(x)) > 0) AS lines
         |  FROM documents),
         |  g AS (
         |  SELECT doc_id, toks, lines,
@@ -1137,7 +1137,7 @@ object SparkEntry {
         |       round(mean_word_len, 4) AS mean_word_len,
         |       (n_words BETWEEN 50 AND 100000
         |        AND mean_word_len BETWEEN 3.0 AND 10.0
-        |        AND alpha_frac > 0.8
+        |        AND alpha_frac >= 0.8
         |        AND ellipsis_frac < 0.3
         |        AND dup_line_frac < 0.3
         |        AND dup_2gram_frac < 0.4) AS gopher_pass

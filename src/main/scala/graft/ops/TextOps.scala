@@ -86,9 +86,11 @@ object TextOps {
   // (the Catalyst HOF rule: stage intermediates once, never inline an
   // expensive parent expression into several consumers) ----
 
-  /** Non-blank lines of a document. */
+  /** Non-blank lines of a document. Splits on `\r?\n` — crawled text is
+    * routinely CRLF, and a trailing `\r` left on each line would defeat
+    * suffix checks like the ellipsis rule (trim strips spaces only). */
   def docLines(text: Column): Column =
-    filter(split(text, "\n"), l => length(trim(l)) > 0)
+    filter(split(text, "\r?\n"), l => length(trim(l)) > 0)
 
   /** Fraction of elements of a STAGED array that repeat an earlier element.
     * The argument must be an attribute: an inline array expression here
@@ -108,24 +110,33 @@ object TextOps {
   def dupNgramFraction(toks: Column, n: Int): Column =
     dupFraction(wordNgramHashesFromTokens(toks, n))
 
+  /** Fraction of a STAGED array's elements satisfying `pred` (0 if empty). */
+  def matchFraction(arr: Column, pred: Column => Column): Column =
+    when(size(arr) === 0, lit(0.0)).otherwise(
+      size(filter(arr, pred)).cast("double") / size(arr))
+
   /** Fraction of lines ending in an ellipsis (Gopher's "..." rule). */
   def ellipsisLineFraction(lines: Column): Column =
-    when(size(lines) === 0, lit(0.0)).otherwise(
-      size(filter(lines, l => trim(l).endsWith("..."))).cast("double") / size(lines))
+    matchFraction(lines, l => trim(l).endsWith("..."))
 
   /** Fraction of words containing at least one alphabetic character. */
   def alphaWordFraction(toks: Column): Column =
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks))
+    matchFraction(toks, t => t.rlike("[A-Za-z]"))
 
   /** Mean word length (0 for empty docs). */
   def meanWordLength(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
 
-  /** The Gopher gate from ALREADY-COMPUTED signal columns (defaults are the
-    * published thresholds) — the form a signals pipeline composes so each
-    * signal evaluates once. */
+  /** The Gopher-STYLE gate from ALREADY-COMPUTED signal columns — the form a
+    * signals pipeline composes so each signal evaluates once. Threshold
+    * provenance: word count 50-100k, mean word length 3-10, alpha-word
+    * fraction >= 0.8 (keep AT the boundary — Gopher removes docs BELOW 80%),
+    * and ellipsis-line < 0.3 follow Rae et al. 2021 Table A1; the
+    * duplicate-line < 0.3 and duplicate-n-gram < 0.4 defaults are OURS —
+    * count-based analogs of Gopher's duplicate-line/top-n-gram CHARACTER
+    * fractions (a different metric), so tune them to your corpus rather than
+    * citing them as published numbers. */
   def gopherPassFromSignals(nWords: Column, meanLen: Column, alphaFrac: Column,
                             ellipsisFrac: Column, dupLineFrac: Column,
                             dupNgramFrac: Column,
@@ -135,25 +146,27 @@ object TextOps {
                             maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.4): Column =
     nWords.between(minWords, maxWords) &&
       meanLen.between(minMeanLen, maxMeanLen) &&
-      alphaFrac > minAlphaFrac &&
+      alphaFrac >= minAlphaFrac &&
       ellipsisFrac < maxEllipsisFrac &&
       dupLineFrac < maxDupLineFrac &&
       dupNgramFrac < maxDupNgramFrac
 
-  /** Convenience gate over staged toks/lines attributes. Each signal
-    * expression inlines here, so prefer computing the signals as columns and
-    * calling [[gopherPassFromSignals]] when you also OUTPUT the signals. */
+  /** Convenience gate over staged toks/lines attributes (same thresholds and
+    * provenance as [[gopherPassFromSignals]]). Each signal expression
+    * inlines here, so prefer computing the signals as columns and calling
+    * [[gopherPassFromSignals]] when you also OUTPUT the signals. */
   def gopherPass(toks: Column, lines: Column,
                  minWords: Int = 50, maxWords: Int = 100000,
                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                  minAlphaFrac: Double = 0.8, maxEllipsisFrac: Double = 0.3,
-                 maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.4): Column =
+                 maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.4,
+                 dupNgramN: Int = 2): Column =
     size(toks).between(minWords, maxWords) &&
       meanWordLength(toks).between(minMeanLen, maxMeanLen) &&
-      alphaWordFraction(toks) > minAlphaFrac &&
+      alphaWordFraction(toks) >= minAlphaFrac &&
       ellipsisLineFraction(lines) < maxEllipsisFrac &&
       dupLineFraction(lines) < maxDupLineFrac &&
-      dupNgramFraction(toks, 2) < maxDupNgramFrac
+      dupNgramFraction(toks, dupNgramN) < maxDupNgramFrac
 
   /**
    * Quality score in [0,1]: length band + punctuation sanity + stopword

@@ -143,6 +143,12 @@ class PipelineOpsSpec extends SparkSpec {
       .select(TextOps.dupLineFraction(col("lines")), TextOps.meanWordLength(col("toks")),
         TextOps.gopherPass(col("toks"), col("lines"))).head()
     assert(empty.getDouble(0) === 0.0 && empty.getDouble(1) === 0.0 && !empty.getBoolean(2))
+    // CRLF documents: the \r must not defeat line identity or the ellipsis
+    // suffix rule (crawled text is routinely CRLF)
+    val crlf = Seq("dup line\r\ndup line\r\nends with ...\r\nplain\r\n").toDF("text")
+      .select(TextOps.docLines(col("text")).as("lines")).select(
+        TextOps.dupLineFraction(col("lines")), TextOps.ellipsisLineFraction(col("lines"))).head()
+    assert(crlf.getDouble(0) === 0.25 && crlf.getDouble(1) === 0.25)
   }
 
   test("contaminationFlags: shared 8-gram with the eval set flags the doc") {
