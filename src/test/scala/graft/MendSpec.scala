@@ -162,6 +162,49 @@ class MendSpec extends SparkSpec {
     assert(again.error == null && again.validRecords === 1)
   }
 
+  test("property: a chop at ANY byte mends to a cleanly-scanning prefix (gzip + zstd)") {
+    import org.apache.spark.sql.functions._
+    for (codec <- Seq("gzip", "zstd")) {
+      val dir = Files.createTempDirectory(s"mendprop$codec").toString
+      val rows = spark.range(25).select(
+        lit("WARC/1.1").as("version"),
+        map(lit("WARC-Record-ID"), concat(lit("<urn:uuid:pp"), col("id").cast("string"), lit(">")),
+          lit("WARC-Type"), lit("response"),
+          lit("WARC-Date"), lit("2023-11-14T22:13:20Z")).as("headers"),
+        concat(lit("payload-"), col("id").cast("string"),
+          lit("-"), repeat(lit("z"), 64)).cast("string").as("content"))
+      WarcSink.write(rows.coalesce(1), dir, compression = codec)
+      val ext = if (codec == "gzip") ".warc.gz" else ".warc.zst"
+      val f = new java.io.File(dir).list().find(_.endsWith(ext)).get
+      val intact = Files.readAllBytes(Paths.get(dir, f))
+      // deterministic chop points across the whole file, incl. very early
+      // (inside the warcinfo member) and just-before-end
+      val chops = Seq(3, 40) ++ (1 to 9).map(i => intact.length * i / 10) ++
+        Seq(intact.length - 1)
+      for (chop <- chops) {
+        val cdir = Files.createTempDirectory(s"chop$codec$chop")
+        val open = cdir.resolve(s"C-0-x$ext.open")
+        Files.write(open, java.util.Arrays.copyOf(intact, chop))
+        val r = Mend.mendFile(open.toString)
+        // a chop strictly inside the byte stream must register as damage
+        assert(r.error != null, s"$codec chop=$chop silently clean")
+        assert(r.keptBytes <= chop)
+        if (r.keptBytes > 0) {
+          val mended = cdir.resolve(s"C-0-x$ext")
+          assert(Files.exists(mended), s"$codec chop=$chop not renamed")
+          // survivors scan cleanly and agree with the mend's record count
+          val n = spark.read.format("graft.sources.WarcDataSource")
+            .load(mended.toString).count()
+          assert(n === r.validRecords, s"$codec chop=$chop scan $n vs ${r.validRecords}")
+          // idempotent: a second mend finds nothing more to cut
+          val again = Mend.mendFile(mended.toString)
+          assert(again.error == null && again.validRecords === r.validRecords &&
+            again.truncatedBytes === 0L, s"$codec chop=$chop remend $again")
+        }
+      }
+    }
+  }
+
   test("mendAll distributes across files (plain and gzip)") {
     val dir = Files.createTempDirectory("mendall").toString
     writeFile(dir, 4, gzip = false)
