@@ -604,10 +604,16 @@ object SparkEntry {
       // Gopher/C4 repetition + shape filters; toks/lines/grams staged ONCE
       // as attributes, each signal computed once, the gate composed from the
       // signal COLUMNS (HOF-recompute discipline, twice over)
+      // STRING grams staged once, serving both the duplicate-count fraction
+      // and Gopher's top-n-gram CHARACTER fraction (gram length matters)
       val staged = t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("text_len"),
         TextOps.tokens(col("text")).as("toks"),
         TextOps.docLines(col("text")).as("lines"))
-        .withColumn("grams", TextOps.wordNgramHashesFromTokens(col("toks"), 2))
+        .withColumn("grams", TextOps.wordNgramsFromTokens(col("toks"), 2))
+        .localCheckpoint(true) // two branches (row signals + gram agg) share one tokenize
+      val top = TextOps.topNgramCharFractionAgg(staged, "doc_id", "grams", "text_len")
+        .withColumnRenamed("top_ngram_char_frac", "top_2gram_char_frac")
       val signals = staged.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
         TextOps.dupLineFraction(col("lines")).as("dup_line_frac"),
@@ -615,9 +621,11 @@ object SparkEntry {
         TextOps.ellipsisLineFraction(col("lines")).as("ellipsis_frac"),
         TextOps.alphaWordFraction(col("toks")).as("alpha_frac"),
         TextOps.meanWordLength(col("toks")).as("mean_word_len"))
+        .join(top, "doc_id")
       signals.select(col("doc_id"), col("n_words"),
         round(col("dup_line_frac"), 4).as("dup_line_frac"),
         round(col("dup_2gram_frac"), 4).as("dup_2gram_frac"),
+        round(col("top_2gram_char_frac"), 4).as("top_2gram_char_frac"),
         round(col("ellipsis_frac"), 4).as("ellipsis_frac"),
         round(col("alpha_frac"), 4).as("alpha_frac"),
         round(col("mean_word_len"), 4).as("mean_word_len"),
@@ -1106,13 +1114,13 @@ object SparkEntry {
 
     "q55_gopher_signals" ->
       """WITH s AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS text_len,
         |         list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
         |         list_filter(string_split_regex(text, '\r?\n'), x -> len(trim(x)) > 0) AS lines
         |  FROM documents),
         |  g AS (
-        |  SELECT doc_id, toks, lines,
-        |         CASE WHEN len(toks) < 2 THEN []
+        |  SELECT doc_id, text_len, toks, lines,
+        |         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
         |              ELSE list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS grams
         |  FROM s),
         |  m AS (
@@ -1122,6 +1130,10 @@ object SparkEntry {
         |              ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END AS dup_line_frac,
         |         CASE WHEN len(grams) = 0 THEN 0.0
         |              ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) END AS dup_2gram_frac,
+        |         CASE WHEN len(grams) = 0 OR text_len = 0 THEN 0.0
+        |              ELSE CAST(list_max(list_transform(list_distinct(grams),
+        |                     x -> len(list_filter(grams, y -> y = x)) * len(x))) AS DOUBLE) / text_len
+        |         END AS top_2gram_char_frac,
         |         CASE WHEN len(lines) = 0 THEN 0.0
         |              ELSE CAST(len(list_filter(lines, x -> trim(x) LIKE '%...')) AS DOUBLE) / len(lines) END AS ellipsis_frac,
         |         CASE WHEN len(toks) = 0 THEN 0.0
@@ -1132,6 +1144,7 @@ object SparkEntry {
         |SELECT doc_id, n_words,
         |       round(dup_line_frac, 4) AS dup_line_frac,
         |       round(dup_2gram_frac, 4) AS dup_2gram_frac,
+        |       round(top_2gram_char_frac, 4) AS top_2gram_char_frac,
         |       round(ellipsis_frac, 4) AS ellipsis_frac,
         |       round(alpha_frac, 4) AS alpha_frac,
         |       round(mean_word_len, 4) AS mean_word_len,

@@ -149,6 +149,13 @@ class PipelineOpsSpec extends SparkSpec {
       .select(TextOps.docLines(col("text")).as("lines")).select(
         TextOps.dupLineFraction(col("lines")), TextOps.ellipsisLineFraction(col("lines"))).head()
     assert(crlf.getDouble(0) === 0.25 && crlf.getDouble(1) === 0.25)
+    // Gopher's top-n-gram CHARACTER fraction: "a b a b c" -> top bigram
+    // "a b" occurs twice, 3 chars each = 6 of 9 text chars
+    val top = Seq("a b a b c").toDF("text")
+      .select(length(col("text")).cast("long").as("tl"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("grams", TextOps.wordNgramsFromTokens(col("toks"), 2))
+      .select(TextOps.topNgramCharFraction(col("grams"), col("tl"))).head().getDouble(0)
+    assert(math.abs(top - 6.0 / 9) < 1e-9)
   }
 
   test("contaminationFlags: shared 8-gram with the eval set flags the doc") {
