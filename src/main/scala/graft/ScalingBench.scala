@@ -98,7 +98,7 @@ object ScalingBench {
       val l = new DriverGapListener; spark.sparkContext.addSparkListener(l); l
     }
     def gcMs: Long = {
-      import scala.collection.JavaConverters._
+      import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }

@@ -219,7 +219,7 @@ object Crawl {
           .map(t => t -> metrics.get(t).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
         val bytes = metrics.get("bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
         val nResp = byTier.getOrElse("none", 0L)
-        val nRevisit = byTier.filterKeys(_ != "none").values.sum
+        val nRevisit = byTier.view.filterKeys(_ != "none").values.sum
 
         val newSeen = scheduled.select(col("url_key"))
         filters = Some(filters.map(f => SeenSetOps.mergeFilterTables(f, newFilters))

@@ -331,7 +331,7 @@ object Mend {
   /** Mend every *.warc[.gz][.open] under `dir`, one file per task. */
   def mendAll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import scala.collection.JavaConverters._
+    import scala.jdk.CollectionConverters._
     val listing = Files.list(Paths.get(dir))
     val files =
       try listing.iterator().asScala.map(_.toString)

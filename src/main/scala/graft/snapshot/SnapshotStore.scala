@@ -1,6 +1,6 @@
 package graft.snapshot
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.ObjectMapper
