@@ -635,6 +635,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q56_simhash_portable" -> ((s, dir) => {
+      // the SAME simhash vote/band/Hamming machinery as q24, but over
+      // md5-derived token hashes BOTH engines can compute — converting the
+      // sketch pipeline itself into an oracle-checkable operator (q24 keeps
+      // the fast xxhash64 kernel; empty-token docs excluded on both sides)
+      val d = t(s, dir, "documents").filter(TextOps.tokenCount(col("text")) > 0)
+      DedupOps.simhashPairs(d, "doc_id", "text", maxHamming = 16,
+        tokenHash = graft.ops.PipelineOps.portableHash64)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1155,6 +1166,33 @@ object SparkEntry {
         |        AND dup_line_frac < 0.3
         |        AND dup_2gram_frac < 0.4) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q56_simhash_portable" ->
+      // bit-for-bit reconstruction of the simhash pipeline: per-token 64-bit
+      // md5 hashes -> per-bit +-1 vote sums -> sign-assembled 64-bit sketch
+      // (HUGEINT shift, UBIGINT value) -> 16-bit band self-join -> distinct
+      // pairs -> popcount(xor) Hamming gate
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |  h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS hv FROM tok),
+        |  votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, (SELECT unnest(range(64)) AS b) bs GROUP BY doc_id, b),
+        |  sh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT) ELSE 0 END) AS UBIGINT) AS s
+        |  FROM votes GROUP BY doc_id),
+        |  band AS (
+        |  SELECT doc_id, s, b4, (s >> CAST(b4 * 16 AS INT)) & 65535 AS bv
+        |  FROM sh, (SELECT unnest(range(4)) AS b4) t4),
+        |  cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM band a JOIN band c ON a.b4 = c.b4 AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |WHERE bit_count(xor(sa.s, sb.s)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

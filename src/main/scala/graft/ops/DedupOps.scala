@@ -205,11 +205,15 @@ object DedupOps {
   }
 
   /** SimHash near-duplicate pairs: banded candidates, Hamming-verified.
-    * Stages: tokens -> hashes -> votes -> simhash, each an attribute. */
+    * Stages: tokens -> hashes -> votes -> simhash, each an attribute.
+    * `tokenHash` defaults to the fast xxhash64; pass
+    * `PipelineOps.portableHash64` for the DuckDB-reproducible variant (the
+    * whole vote/band/Hamming machinery is then oracle-checkable, q56). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("id"), transform(col("toks"), t => tokenHash(t)).as("th"))
       .select(col("id"), graft.functions.SketchExprs.simhash64_from_hashes(col("th")).as("simhash"))
     val banded = withSim.select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band"), col("b.value"))

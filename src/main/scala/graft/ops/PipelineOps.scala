@@ -42,6 +42,19 @@ object PipelineOps {
     df.filter(hashUnit(col(idCol)) < rate)
   }
 
+  /** Signed-64-bit view of the first 16 md5 hex digits — a 64-bit token
+    * hash BOTH engines can compute (DuckDB: CAST('0x'||substr(md5(x),1,16)
+    * AS UBIGINT); the bit patterns are identical and bit extraction is
+    * signedness-agnostic). Slower than xxhash64 — use it where cross-engine
+    * verifiability matters more than raw hash throughput (e.g. the
+    * oracle-checked simhash variant, q56). */
+  def portableHash64(c: Column): Column = {
+    val u = conv(substring(md5(c.cast("string")), 1, 16), 16, 10).cast("decimal(20,0)")
+    when(u >= lit(BigDecimal("9223372036854775808")),
+      (u - lit(BigDecimal("18446744073709551616"))).cast("long"))
+      .otherwise(u.cast("long"))
+  }
+
   /** Uniform [0,1) deterministic in (id, copyIndex) — the per-copy coin for
     * fractional oversampling (same portable formula as [[hashUnit]]). */
   private def hashUnitCopy(id: Column, k: Column): Column =

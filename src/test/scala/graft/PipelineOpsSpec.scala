@@ -18,6 +18,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.toSeq === Seq(8, 0, 3))
   }
 
+  test("portableHash64 matches independently-computed md5-derived goldens") {
+    import spark.implicits._
+    // python: int(md5(s)[:16],16), signed-64 wrapped
+    val got = Seq("hello", "b").toDF("s")
+      .select(PipelineOps.portableHash64(col("s"))).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(6719722671305337462L, -7860083176248561684L))
+    // simhash over portable hashes runs through the unchanged kernel;
+    // simhash is order-invariant, so a token permutation MUST collide at
+    // Hamming 0 (a fixed near-dup pair would be flaky at few-token sizes)
+    val ws = (0 until 40).map(i => s"tok$i")
+    val docs = Seq((1L, ws.mkString(" ")),
+      (2L, ws.reverse.mkString(" ")),
+      (3L, (100 until 140).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = graft.ops.DedupOps.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, tokenHash = PipelineOps.portableHash64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.forall(p => !(p._1 == 1L && p._2 == 3L) && !(p._1 == 2L && p._2 == 3L)))
+  }
+
   test("stratifiedSample is deterministic, rate-faithful, and a pure filter") {
     import spark.implicits._
     val df = spark.range(10000).select(col("id").as("doc_id"),
