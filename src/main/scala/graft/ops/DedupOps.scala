@@ -204,6 +204,62 @@ object DedupOps {
     cross.unionByName(intra)
   }
 
+  /**
+   * MinHash-LSH pairs over PORTABLE (md5-derived) hashes — the
+   * oracle-checkable twin of [[minhashLshPairs]] (which keeps the fast
+   * xxhash64 kernel): per-slot signatures are `min` over shingles of the
+   * signed-64 md5 hash salted by the slot index, band keys are the plain
+   * comma-joined slice strings (string equality needs no hash), and the
+   * exact-Jaccard verification runs over portable-hashed shingle sets.
+   * DuckDB reproduces every step (q57), so the banding/verification
+   * machinery itself is hash-verified cross-engine. No exact-dup pre-pass —
+   * this variant trades the large-cluster optimization for verifiability;
+   * run it on a sampled slice or a pre-deduplicated corpus.
+   */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int = 5, numHashes: Int = 16,
+                              bandsCount: Int = 4, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bandsCount == 0, "bands must divide hashes")
+    val rowsPerBand = numHashes / bandsCount
+    val k = shingleSize
+    val hash = graft.ops.PipelineOps.portableHash64 _
+    val prep = df.select(col(idCol).as("id"),
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("norm"))
+    val withShingles = prep.select(col("id"),
+      when(length(col("norm")) < k, array(col("norm")))
+        .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
+          i => col("norm").substr(i + 1, lit(k)))).as("shingles"))
+    // per-slot min of slot-salted portable hashes; `shingles` is a staged
+    // attribute so each of the numHashes passes reads the array, not the
+    // shingle-construction expression
+    val withSig = withShingles.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("shingles"),
+          s => hash(concat(s, lit(":"), i.cast("string")))))))
+    val banded = withSig.select(col("id"),
+      posexplode(array((0 until bandsCount).map(b =>
+        concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .repartition(col("band"), col("band_key"))
+    val left = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val candidates = left.join(right, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val hashedSets = withShingles.select(col("id"),
+      array_sort(array_distinct(transform(col("shingles"), s => hash(s)))).as("hs"))
+    val shA = hashedSets.select(col("id").as("id_a"), col("hs").as("sh_a"))
+    val shB = hashedSets.select(col("id").as("id_b"), col("hs").as("sh_b"))
+    val inter = graft.functions.ArraySetOps
+      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .withColumn("jaccard", when(union === 0, lit(1.0)).otherwise(inter / union))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash near-duplicate pairs: banded candidates, Hamming-verified.
     * Stages: tokens -> hashes -> votes -> simhash, each an attribute.
     * `tokenHash` defaults to the fast xxhash64; pass
