@@ -646,6 +646,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q58_srp_portable" -> ((s, dir) => {
+      // SRP-LSH over portable hyperplanes + quantized vectors: projections
+      // are exact dyadic arithmetic, so DuckDB reproduces signatures,
+      // buckets, and the cosine verification (q25 keeps xxhash64 planes)
+      val e = t(s, dir, "embeddings")
+        .withColumn("vq", transform(col("embedding"), x => round(x * 1000, 0).cast("double")))
+      DedupOps.embeddingNearDupPairsPortable(e, "vec_id", "vq",
+        numPlanes = 8, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q57_minhash_portable" -> ((s, dir) => {
       // the MinHash-LSH machinery over portable hashes on a 1/20 corpus
       // slice — DuckDB reconstructs slot-salted signatures, band keys, the
@@ -1203,6 +1214,26 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
         |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
         |WHERE bit_count(xor(sa.s, sb.s)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q58_srp_portable" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |  sig AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_dot_product(v, v)) AS n,
+        |         array_to_string(list_transform(range(8), p ->
+        |           CASE WHEN list_sum(list_transform(range(len(v)), i ->
+        |             v[CAST(i+1 AS INT)] *
+        |             (CAST(CAST('0x' || substr(md5('hp:' || p || ':' || i), 1, 8) AS UBIGINT) AS DOUBLE)
+        |              / 4294967296.0 * 2 - 1)
+        |           )) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cosine
+        |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q57_minhash_portable" ->

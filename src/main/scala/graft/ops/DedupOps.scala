@@ -508,6 +508,38 @@ object DedupOps {
   def cosineSim(a: Column, b: Column): Column =
     cosineFromParts(dotProduct(a, b), vecNorm(a), vecNorm(b))
 
+  /**
+   * SRP-LSH near-duplicates over PORTABLE hyperplanes — the oracle-checkable
+   * twin of [[embeddingNearDupPairs]]: plane components are md5-derived
+   * dyadic rationals (k/2^32 scaled to [-1,1)), so over INTEGER-QUANTIZED
+   * vectors every projection term, partial sum, and sign is exactly
+   * representable and bit-identical across engines (numerators stay far
+   * below 2^53); DuckDB reproduces signatures, buckets, and the cosine
+   * verification (q58). Pass a pre-quantized vector column.
+   */
+  def embeddingNearDupPairsPortable(df: DataFrame, idCol: String, vecCol: String,
+                                    numPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    def comp(p: Column, i: Column): Column =
+      graft.ops.PipelineOps.hashUnit(
+        concat(lit("hp:"), p.cast("string"), lit(":"), i.cast("string"))) * 2 - 1
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", vecNorm(col("v")))
+      .withColumn("bucket", concat_ws("", transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+        val dot = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, i) => x.cast("double") * comp(p, i)),
+          lit(0.0), (acc, t) => acc + t)
+        when(dot >= 0, lit("1")).otherwise(lit("0"))
+      })))
+      .repartition(col("bucket"))
+    val l = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val r = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineFromParts(dotProduct(col("v_a"), col("v_b")), col("n_a"), col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicates via SRP-LSH buckets + cosine verify.
     * Norms are computed once per vector BEFORE the bucket self-join; only
     * the dot product runs per candidate pair. */
