@@ -106,13 +106,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val store = new graft.snapshot.SnapshotStore(root)
         val df =
           if (args.length == 3) args(2) match {
-            case Literal(v: Integer, _) =>
+            // any integral literal: a BIGINT 3L from an API caller or a
+            // smallint/tinyint literal is as valid a version as INT 3
+            case Literal(v: Number, _)
+                if (v.isInstanceOf[java.lang.Byte] || v.isInstanceOf[java.lang.Short] ||
+                  v.isInstanceOf[java.lang.Integer] ||
+                  (v.isInstanceOf[java.lang.Long] &&
+                    v.longValue >= Int.MinValue && v.longValue <= Int.MaxValue)) =>
               store.readAt(spark, table, v.intValue).getOrElse(
                 throw new IllegalArgumentException(
                   s"graft_snapshot: no committed version ${v.intValue} holding " +
                     s"table '$table' under $root (versions: ${store.versions.mkString(",")})"))
             case other => throw new IllegalArgumentException(
-              s"graft_snapshot version must be an integer literal, got $other")
+              s"graft_snapshot version must be an integral literal (within Int range), got $other")
           } else store.read(spark, table).getOrElse(
             throw new IllegalArgumentException(
               s"graft_snapshot: no committed snapshot holds table '$table' under $root"))

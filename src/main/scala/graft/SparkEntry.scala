@@ -658,12 +658,14 @@ object SparkEntry {
     }),
 
     "q57_minhash_portable" -> ((s, dir) => {
-      // the MinHash-LSH machinery over portable hashes on a 1/20 corpus
-      // slice — DuckDB reconstructs slot-salted signatures, band keys, the
-      // candidate join, and the exact-Jaccard verification (q23 keeps the
-      // fast kernel + exact-dup pre-pass, rows-only)
-      val d = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
-      DedupOps.minhashLshPairsPortable(d, "doc_id", "text",
+      // the MinHash-LSH machinery over portable hashes on the FULL corpus
+      // (near-dups land on random id distances, so any modulo slice empties
+      // the pair set — measured: the old 1/20 slice verified 0 pairs) —
+      // DuckDB reconstructs the once-per-shingle md5 hash, the XOR-salted
+      // per-slot mins, band keys, the candidate join, and the exact-Jaccard
+      // verification (q23 keeps the fast kernel + exact-dup pre-pass,
+      // rows-only)
+      DedupOps.minhashLshPairsPortable(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 5, numHashes = 16, bandsCount = 4, threshold = 0.4)
         .orderBy("id_a", "id_b")
     }),
@@ -1236,37 +1238,46 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q57_minhash_portable" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |  sh AS (
-        |  SELECT doc_id, CASE WHEN len(norm) < 5 THEN [norm]
-        |         ELSE list_transform(range(len(norm) - 4), i -> substr(norm, CAST(i+1 AS INT), 5)) END AS shingles
-        |  FROM d),
-        |  sig AS (
-        |  SELECT doc_id, shingles,
-        |         list_transform(range(16), i ->
-        |           list_min(list_transform(
-        |             list_transform(shingles, s -> CAST('0x' || substr(md5(s || ':' || i), 1, 16) AS UBIGINT)),
-        |             u -> CAST(CAST(u AS HUGEINT) - (CAST(u >> 63 AS HUGEINT) * 18446744073709551616) AS BIGINT)))) AS sg
-        |  FROM sh),
-        |  band AS (
-        |  SELECT doc_id, b, array_to_string(list_slice(sg, CAST(b*4+1 AS INT), CAST(b*4+4 AS INT)), ',') AS key
-        |  FROM sig, (SELECT unnest(range(4)) AS b) bs),
-        |  cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM band a JOIN band c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
-        |  sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
-        |  j AS (SELECT id_a, id_b, sa.ss AS s_a, sb.ss AS s_b
-        |        FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
-        |SELECT id_a, id_b,
-        |       round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE) /
-        |             (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))), 4) AS jaccard
-        |FROM j
-        |WHERE CAST(len(list_intersect(s_a, s_b)) AS DOUBLE) /
-        |      (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q57_minhash_portable" -> {
+      // the 16 XOR salts are interpolated from DedupOps.slotSalt so the SQL
+      // and the Spark plan can never silently diverge on the constants
+      val saltMins = (0 until 16).map(i =>
+        s"list_min(list_transform(hs, h -> xor(h, CAST(${graft.ops.DedupOps.slotSalt(i)} AS BIGINT))))")
+        .mkString(",\n           ")
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents),
+         |  sh AS (
+         |  SELECT doc_id, CASE WHEN len(norm) < 5 THEN [norm]
+         |         ELSE list_distinct(list_transform(range(len(norm) - 4), i -> substr(norm, CAST(i+1 AS INT), 5))) END AS shingles
+         |  FROM d),
+         |  hsh AS (
+         |  SELECT doc_id, shingles,
+         |         list_transform(shingles, s ->
+         |           CAST(CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) AS HUGEINT)
+         |             - (CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) >> 63 AS HUGEINT) * 18446744073709551616) AS BIGINT)) AS hs
+         |  FROM sh),
+         |  sig AS (
+         |  SELECT doc_id, hs,
+         |         [$saltMins] AS sg
+         |  FROM hsh),
+         |  band AS (
+         |  SELECT doc_id, b, array_to_string(list_slice(sg, CAST(b*4+1 AS INT), CAST(b*4+4 AS INT)), ',') AS key
+         |  FROM sig, (SELECT unnest(range(4)) AS b) bs),
+         |  cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM band a JOIN band c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+         |  sets AS (SELECT doc_id, list_sort(list_distinct(hs)) AS ss FROM hsh),
+         |  j AS (SELECT id_a, id_b, sa.ss AS s_a, sb.ss AS s_b
+         |        FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |       round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE) /
+         |             (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))), 4) AS jaccard
+         |FROM j
+         |WHERE CAST(len(list_intersect(s_a, s_b)) AS DOUBLE) /
+         |      (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

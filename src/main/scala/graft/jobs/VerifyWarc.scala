@@ -42,8 +42,16 @@ object VerifyWarc {
       .otherwise(stored)
 
   def recordChecks(records: DataFrame): DataFrame = {
+    // case-insensitive content-type lookup: the WARC reader lowercases
+    // header keys, but recordChecks also accepts caller-supplied frames with
+    // original-case keys ("Content-Type") — element_at on the raw map would
+    // silently never fire the payload check there. filter(map_entries) is
+    // duplicate-key-safe where transform_keys(lower) would throw.
+    val contentType = get(
+      filter(map_entries(col("headers")), e => lower(e.getField("key")) === "content-type"),
+      lit(0)).getField("value")
     val isHttp = coalesce(
-      lower(element_at(col("headers"), "content-type")).startsWith("application/http"),
+      lower(contentType).startsWith("application/http"),
       lit(false))
     val payload = http_payload(col("content"))
     records

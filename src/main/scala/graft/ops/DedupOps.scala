@@ -204,17 +204,32 @@ object DedupOps {
     cross.unionByName(intra)
   }
 
+  /** splitmix64 of (slot index + 1): the per-slot 64-bit XOR salt of the
+    * portable MinHash signature. Single-sourced so the Spark plan and any
+    * SQL oracle interpolate the SAME literal constants (SparkEntry's q57
+    * DuckDB twin embeds `slotSalt(i)` verbatim). */
+  def slotSalt(i: Int): Long = {
+    var z = (i + 1) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /**
    * MinHash-LSH pairs over PORTABLE (md5-derived) hashes — the
    * oracle-checkable twin of [[minhashLshPairs]] (which keeps the fast
-   * xxhash64 kernel): per-slot signatures are `min` over shingles of the
-   * signed-64 md5 hash salted by the slot index, band keys are the plain
-   * comma-joined slice strings (string equality needs no hash), and the
-   * exact-Jaccard verification runs over portable-hashed shingle sets.
-   * DuckDB reproduces every step (q57), so the banding/verification
-   * machinery itself is hash-verified cross-engine. No exact-dup pre-pass —
-   * this variant trades the large-cluster optimization for verifiability;
-   * run it on a sampled slice or a pre-deduplicated corpus.
+   * xxhash64 kernel): each shingle is md5-hashed ONCE to a signed 64-bit
+   * value, per-slot values are XOR-salts of that hash ([[slotSalt]]
+   * constants — XOR by a constant is a bijection of the hash space, so each
+   * slot's `min` is a min-wise selection under a distinct permutation; a
+   * weaker family than independent re-hashing but exactly reproducible and
+   * 16x cheaper, and candidate-set equality across engines is exact either
+   * way because both compute the identical signatures), band keys are the
+   * plain comma-joined slice strings, and the exact-Jaccard verification
+   * runs over portable-hashed shingle sets. DuckDB reproduces every step
+   * (q57), so the banding/verification machinery itself is hash-verified
+   * cross-engine. No exact-dup pre-pass — this variant trades the
+   * large-cluster optimization for verifiability.
    */
   def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
                               shingleSize: Int = 5, numHashes: Int = 16,
@@ -225,17 +240,26 @@ object DedupOps {
     val hash = graft.ops.PipelineOps.portableHash64 _
     val prep = df.select(col(idCol).as("id"),
       regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("norm"))
-    val withShingles = prep.select(col("id"),
+    // hash ALL shingles, dedupe on the 64-bit hashes (array_distinct over
+    // longs beats array_distinct over the 5-char strings — measured: string
+    // distinct was the single heaviest stage of the old pipeline), then
+    // materialize the (id, distinct-hash-set) frame ONCE: both the
+    // signature/band branch and the exact-Jaccard verification branch read
+    // it, instead of re-running the shingle+md5 lineage per branch (the
+    // double traversal was half the old runtime). ~8 B x distinct-shingles
+    // per row; a production-scale run would persist this to storage instead.
+    val withH = prep.select(col("id"),
       when(length(col("norm")) < k, array(col("norm")))
         .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
           i => col("norm").substr(i + 1, lit(k)))).as("shingles"))
-    // per-slot min of slot-salted portable hashes; `shingles` is a staged
-    // attribute so each of the numHashes passes reads the array, not the
-    // shingle-construction expression
-    val withSig = withShingles.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("shingles"),
-          s => hash(concat(s, lit(":"), i.cast("string")))))))
+      .select(col("id"), array_distinct(transform(col("shingles"), s => hash(s))).as("hs"))
+      .localCheckpoint(true)
+    // per-slot min of XOR-salted hashes; `hs` is a checkpointed attribute so
+    // each of the numHashes min-passes reads the long array, not the md5
+    // expression (HOF-recompute discipline; md5 is ~16x the XOR cost)
+    val withSig = withH.withColumn("sig",
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("hs"), h => h.bitwiseXOR(lit(slotSalt(i)))))): _*))
     val banded = withSig.select(col("id"),
       posexplode(array((0 until bandsCount).map(b =>
         concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
@@ -247,8 +271,7 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val hashedSets = withShingles.select(col("id"),
-      array_sort(array_distinct(transform(col("shingles"), s => hash(s)))).as("hs"))
+    val hashedSets = withH.select(col("id"), array_sort(col("hs")).as("hs"))
     val shA = hashedSets.select(col("id").as("id_a"), col("hs").as("sh_a"))
     val shB = hashedSets.select(col("id").as("id_b"), col("hs").as("sh_b"))
     val inter = graft.functions.ArraySetOps
@@ -467,7 +490,12 @@ object DedupOps {
     val dropIds = connectedComponents(hashed)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__cluster_drop_hid"))
-    df.join(dropIds, xxhash64(col(idCol)) === col("__cluster_drop_hid"), "left_anti")
+    // the same null guard on df's side: xxhash64(NULL) degenerates to the
+    // constant seed hash, so a null idCol row would be matched/retained by
+    // whether ANY pair id happens to collide with the seed — fail loudly
+    // instead, symmetric with the pairs-side guard above
+    df.join(dropIds,
+      hashedNonNull(col(idCol), idCol) === col("__cluster_drop_hid"), "left_anti")
   }
 
   // ---------------- embedding near-dup ----------------

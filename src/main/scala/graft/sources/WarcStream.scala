@@ -45,12 +45,19 @@ class WarcMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = WarcSourceOffset(Seq.empty)
 
-  // driver-side, per-query-instance: each age-dropped file warns exactly
-  // once. Size-capped: on a long-lived stream over a high-churn directory an
-  // unbounded path set is a driver leak — past the cap, drops are reported
-  // as a count instead of per path.
+  // driver-side, per-query-instance: each STALE-ON-ARRIVAL file warns
+  // exactly once. Files that were fresh in an earlier offset (and therefore
+  // processed) inevitably age past maxFileAgeMs on a long-lived stream —
+  // those are NOT drops and never warn; `everFresh` records them. Both sets
+  // are size-capped: on a high-churn directory an unbounded path set is a
+  // driver leak. Past the everFresh cap, warning is suppressed entirely
+  // (one notice) rather than degrading into false per-path alarms for
+  // already-consumed files.
   private val warnedAgedOut = scala.collection.mutable.Set[String]()
+  private val everFresh = scala.collection.mutable.Set[String]()
   private val WarnedCap = 10000
+  private val EverFreshCap = 100000
+  private var freshTrackingSaturated = false
 
   override def latestOffset(): Offset = {
     val cutoff = System.currentTimeMillis() - maxFileAgeMs
@@ -58,19 +65,37 @@ class WarcMicroBatchStream(path: String, required: StructType,
       try WarcScan.listWarcFiles(fs, root)
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     val (fresh, aged) = listed.partition(_.getModificationTime >= cutoff)
-    val untracked = aged.map(_.getPath.toString).filterNot(warnedAgedOut.contains)
-    val (toTrack, overflow) = untracked.splitAt(
-      math.max(0, WarnedCap - warnedAgedOut.size))
-    toTrack.filter(warnedAgedOut.add).foreach { p =>
-      logWarning(s"WARC stream file is older than maxFileAgeMs=$maxFileAgeMs " +
-        s"and will NEVER be processed by this stream (restarting after " +
-        s"downtime longer than the age window drops the interim files — " +
-        s"backfill with the batch scan): $p")
+    val freshPaths = fresh.map(_.getPath.toString)
+    if (!freshTrackingSaturated) {
+      freshPaths.foreach(everFresh.add)
+      if (everFresh.size > EverFreshCap) {
+        freshTrackingSaturated = true
+        everFresh.clear() // reclaim; warnings are off from here on
+        logWarning(s"WARC stream: more than $EverFreshCap distinct files seen; " +
+          "stale-on-arrival warnings disabled (cannot distinguish consumed " +
+          "files aging out, which is normal, from genuine stale drops)")
+      }
     }
-    if (overflow.nonEmpty)
-      logWarning(s"WARC stream: ${overflow.size} additional file(s) aged out " +
-        s"this trigger beyond the $WarnedCap-path warning cap (not tracked per path)")
-    WarcSourceOffset(fresh.map(_.getPath.toString))
+    if (!freshTrackingSaturated) {
+      // only files that were ALREADY stale when first listed are drops; a
+      // consumed file aging out of the window is the stream working as
+      // designed
+      val untracked = aged.map(_.getPath.toString)
+        .filterNot(everFresh.contains).filterNot(warnedAgedOut.contains)
+      val (toTrack, overflow) = untracked.splitAt(
+        math.max(0, WarnedCap - warnedAgedOut.size))
+      toTrack.filter(warnedAgedOut.add).foreach { p =>
+        logWarning(s"WARC stream file is older than maxFileAgeMs=$maxFileAgeMs " +
+          s"and will NEVER be processed by this stream (restarting after " +
+          s"downtime longer than the age window drops the interim files — " +
+          s"backfill with the batch scan): $p")
+      }
+      if (overflow.nonEmpty)
+        logWarning(s"WARC stream: ${overflow.size} additional file(s) stale on " +
+          s"arrival this trigger beyond the $WarnedCap-path warning cap (not " +
+          "tracked per path)")
+    }
+    WarcSourceOffset(freshPaths)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -174,4 +174,36 @@ class DedupOpsSpec extends SparkSpec {
       assert(cross.map(_._3).distinct.length === 1)
     }
   }
+
+  test("portable MinHash twin: non-empty pair set, jaccard matches brute force") {
+    import spark.implicits._
+    // planted near-dups on NON-adjacent ids (the q57 lesson: real near-dup
+    // pairs land at random id distances, so the twin must find them without
+    // any id-locality assumption)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),
+      (7L, base + " x"), // near-dup of 0
+      (3L, "completely different words living in this one here"),
+      (11L, base.replace("quick", "rapid")), // near-dup of 0 and 7
+      (5L, "another unrelated document body entirely")).toDF("doc_id", "text")
+    val got = DedupOps.minhashLshPairsPortable(docs, "doc_id", "text",
+      shingleSize = 5, numHashes = 16, bandsCount = 4, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.nonEmpty, "twin must verify a non-empty pair set")
+    // every emitted jaccard must equal the brute-force 5-shingle jaccard
+    def shingles(s: String) = {
+      val n = s.toLowerCase.trim.replaceAll("\\s+", " ")
+      if (n.length < 5) Set(n) else n.sliding(5).toSet
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (a, b, j) =>
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j === math.rint(expect * 10000) / 10000, s"pair ($a,$b)")
+      assert(expect >= 0.4)
+    }
+    // the two planted high-jaccard pairs must be recalled
+    assert(got.map(p => (p._1, p._2)).toSet.contains((0L, 7L)))
+  }
 }

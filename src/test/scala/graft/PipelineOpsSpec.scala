@@ -192,14 +192,19 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "contaminated").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(flags === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
-    // short-doc identity: a <n-token eval doc contaminates its exact copy
-    val evalShort = Seq("tiny doc").toDF("eval_text")
+    // short-doc policy (documented on contaminationFlags): a sub-n doc is
+    // flagged iff an eval line is the IDENTICAL token sequence — a 3-token
+    // doc vs its 3-token eval twin flags; the same 3 tokens embedded in a
+    // LONGER eval line do not (that line only contributes n-grams)
+    val evalShort = Seq("tiny doc", "eval question three").toDF("eval_text")
     val flags2 = PipelineOps.contaminationFlags(
-      Seq((1L, "tiny doc"), (2L, "tiny dog")).toDF("doc_id", "text"),
+      Seq((1L, "tiny doc"), (2L, "tiny dog"),
+        (3L, "eval question three"),
+        (4L, "an eval question three embedded in longer words here")).toDF("doc_id", "text"),
       "doc_id", "text", evalShort, "eval_text", n = 8)
       .select("doc_id", "contaminated").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(flags2 === Map(1L -> true, 2L -> false))
+    assert(flags2 === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
     // a caller id column literally named "id" must survive (the internal
     // join alias must not collide and drop it)
     val withId = PipelineOps.contaminationFlags(
