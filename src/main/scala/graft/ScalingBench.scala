@@ -31,6 +31,11 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false") // keep plans identical
+      // scan-side working-set lever (the L3-attribution predicts smaller
+      // per-task inputs scale better at high concurrency): bytes per scan
+      // task, default Spark's 128m
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -158,7 +163,11 @@ object ScalingBench {
     // and 32 cores (36.8 vs 47.7-49.5 s); 512 over-fragments (77.9 s at 8).
     val shuffleParts = sys.env.get("SPARK_GRAFT_BENCH_PARTS").map(_.toInt)
       .getOrElse(math.max(levels.max * 8, 64))
-    val slots = shuffleParts
+    // politeness slots normally track shuffle parts (one sort run per slot);
+    // overridable independently to probe the slot-count/working-set lever at
+    // constant shuffle partitioning
+    val slots = sys.env.get("SPARK_GRAFT_BENCH_SLOTS").map(_.toInt)
+      .getOrElse(shuffleParts)
 
     // pinned-run mode: one level per JVM (driven under `taskset -c 0..N-1` so
     // GC/compiler/IO threads share the N cpus exactly like an N-core

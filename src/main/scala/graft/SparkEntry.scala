@@ -472,8 +472,9 @@ object SparkEntry {
     }),
 
     "q28_media_features" -> ((s, dir) => {
-      // REAL decode: PNG via ImageIO, WAV via AudioSystem (width/height come
-      // from the decoded pixels, not metadata); video is the documented stub
+      // REAL decode: PNG via ImageIO, WAV via AudioSystem, MJPEG video split
+      // on JPEG segment structure and decoded per frame (width/height and
+      // n_frames come from the decoded pixels/frames, not metadata)
       val media = Multimodal.mediaTable(SyntheticWeb.pages(s, 500))
       Multimodal.extractFeatures(s, media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("ok"),

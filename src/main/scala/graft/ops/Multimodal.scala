@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
  *
  * Decoders are REAL for the formats the JDK ships in `java.desktop`:
  * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP) and
- * `javax.sound.sampled.AudioSystem` (WAV/PCM) — no external jars. The ONLY
- * stubbed kernel is video ([[VideoStub]]): the JDK has no video codec, so
- * frame decode for `video/…` is a clearly-marked deterministic stand-in
- * (swapping it for a JNI/javacpp codec changes no plan shape). Decode
- * failures surface as `ok = false` rows, never exceptions — at 100 TB some
- * payloads WILL be corrupt, and one bad blob must not fail a 10k-row task.
+ * `javax.sound.sampled.AudioSystem` (WAV/PCM) — no external jars. Video is
+ * REAL for MJPEG (`video/x-motion-jpeg`, concatenated JPEG frames — the
+ * classic IP-camera/AVI-MJPG payload): a marker-aware splitter
+ * ([[JdkCodec.mjpegFrames]]) walks the JPEG segment structure and each
+ * frame decodes through the same proven ImageIO path. Compressed
+ * inter-frame codecs (H.264/MP4) have no JDK decoder and are rejected as
+ * undecodable (`ok = false`) rather than faked; a JNI/javacpp codec would
+ * slot into the same per-frame kernel without changing any plan shape.
+ * Decode failures surface as `ok = false` rows, never exceptions — at
+ * 100 TB some payloads WILL be corrupt, and one bad blob must not fail a
+ * 10k-row task.
  */
 object Multimodal {
 
@@ -145,28 +150,67 @@ object Multimodal {
         out
       } catch { case _: Exception => null } finally ais.close()
     }
-  }
 
-  /**
-   * Video-only stand-in: the JDK ships NO video codec, so `video/…` frame
-   * decode produces stable pseudo-features from the bytes. Everything around
-   * it (schema, batching, frame-count arithmetic) is real; swapping
-   * `pseudoFeatures` for a JNI/javacpp decoder changes no plan shape.
-   */
-  object VideoStub {
-    private def mix(seed: Long, i: Long): Long = Multimodal.mix64(seed, i)
-    def bytesSeed(bytes: Array[Byte]): Long = {
-      var h = 1125899906842597L
+    /**
+     * Split an MJPEG stream (concatenated JPEG frames) into per-frame byte
+     * slices by walking the REAL JPEG segment structure — not a naive
+     * FFD8/FFD9 byte scan, which an APPn segment containing an embedded
+     * thumbnail (itself a JPEG with its own EOI) would fool:
+     *
+     *  - SOI (FFD8) opens a frame
+     *  - marker segments FFxx carry a 2-byte big-endian length (which covers
+     *    the length field itself) and are skipped wholesale — embedded EOIs
+     *    inside APPn/COM payloads are never seen
+     *  - standalone markers (TEM FF01, RSTn FFD0-D7) have no length
+     *  - after SOS (FFDA) the entropy-coded stream is scanned for the next
+     *    real marker: FF 00 is a stuffed data byte and FF D0-D7 are restart
+     *    markers, anything else ends the scan (EOI closes the frame)
+     *
+     * Trailing garbage / a truncated final frame yields the complete frames
+     * before it. Returns an empty array when no complete frame exists.
+     */
+    def mjpegFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      val n = bytes.length
+      def b(i: Int): Int = bytes(i) & 0xff
       var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      h
+      while (i + 1 < n) {
+        if (b(i) == 0xff && b(i + 1) == 0xd8) { // SOI
+          val start = i
+          var p = i + 2
+          var end = -1
+          var inEntropy = false
+          var broken = false
+          while (end < 0 && !broken && p + 1 < n) {
+            if (!inEntropy) {
+              if (b(p) != 0xff) { broken = true }
+              else b(p + 1) match {
+                case 0xd9 => end = p + 2 // EOI with no SOS: header-only frame
+                case 0x01 => p += 2 // TEM: standalone
+                case m if m >= 0xd0 && m <= 0xd7 => p += 2 // RSTn: standalone
+                case 0xda => // SOS: segment header, then entropy-coded data
+                  if (p + 3 >= n) broken = true
+                  else { p += 2 + ((b(p + 2) << 8) | b(p + 3)); inEntropy = true }
+                case _ => // any other marker segment: skip by declared length
+                  if (p + 3 >= n) broken = true
+                  else p += 2 + ((b(p + 2) << 8) | b(p + 3))
+              }
+            } else {
+              if (b(p) == 0xff && b(p + 1) != 0x00 &&
+                !(b(p + 1) >= 0xd0 && b(p + 1) <= 0xd7)) {
+                if (b(p + 1) == 0xd9) end = p + 2
+                // a real marker mid-stream (progressive JPEG's next SOS/DHT):
+                // hand back to the structured segment walker
+                else inEntropy = false
+              } else p += 1
+            }
+          }
+          if (end > 0) { out += java.util.Arrays.copyOfRange(bytes, start, end); i = end }
+          else i = n // incomplete/corrupt tail frame: keep what we have
+        } else i += 1
+      }
+      out.toArray
     }
-    def pseudoFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val seed = bytesSeed(bytes)
-      Array.tabulate(dim)(i => ((mix(seed, i) % 2000L) / 1000.0f))
-    }
-    def frameCount(durationMs: Long, fps: Int): Int =
-      math.max(1, (durationMs * fps / 1000L).toInt)
   }
 
   // ------------------------------------------------------- synthetic fixture
@@ -219,9 +263,29 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Opaque pseudo-bytes for video (no JDK encoder either). */
-    def videoBytes(seed: Long): Array[Byte] =
-      Array.tabulate(256)(i => (mix(seed, i) & 0xff).toByte)
+    /** MJPEG video: `nFrames` deterministic JPEG frames (ImageIO-encoded,
+      * pixels varying per frame) concatenated back to back — a REAL,
+      * decodable video payload for the JDK-only container. */
+    def mjpegBytes(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(nFrames * w * h / 2 + 1024)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (mix(seed, (f.toLong * h + y) * w + x) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        f += 1
+      }
+      bos.toByteArray
+    }
   }
 
   case class MediaMeta(media_id: String, kind: String, mime: String,
@@ -240,14 +304,22 @@ object Multimodal {
       .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(xxhash64(col("media_id")), lit(3)) + 1).cast("int")))
       .withColumn("mime", when(col("kind") === "image", "image/png")
-        .when(col("kind") === "audio", "audio/wav").otherwise("video/mp4"))
-      // image dims small enough that a 500-page fixture renders in ms, large
-      // enough that histograms are meaningful
-      .withColumn("width", when(col("kind") === "image", (pmod(xxhash64(lit("w"), col("media_id")), lit(57)) + 8).cast("int")).otherwise(lit(0)))
-      .withColumn("height", when(col("kind") === "image", (pmod(xxhash64(lit("h"), col("media_id")), lit(41)) + 8).cast("int")).otherwise(lit(0)))
+        .when(col("kind") === "audio", "audio/wav").otherwise("video/x-motion-jpeg"))
+      // image/frame dims small enough that a 500-page fixture renders in ms,
+      // large enough that histograms are meaningful
+      .withColumn("width",
+        when(col("kind") === "image", (pmod(xxhash64(lit("w"), col("media_id")), lit(57)) + 8).cast("int"))
+          .when(col("kind") === "video", (pmod(xxhash64(lit("w"), col("media_id")), lit(25)) + 8).cast("int"))
+          .otherwise(lit(0)))
+      .withColumn("height",
+        when(col("kind") === "image", (pmod(xxhash64(lit("h"), col("media_id")), lit(41)) + 8).cast("int"))
+          .when(col("kind") === "video", (pmod(xxhash64(lit("h"), col("media_id")), lit(17)) + 8).cast("int"))
+          .otherwise(lit(0)))
       .withColumn("duration_ms",
         when(col("kind") === "audio", pmod(xxhash64(lit("d"), col("media_id")), lit(1800L)) + 200L)
-          .when(col("kind") === "video", pmod(xxhash64(lit("d"), col("media_id")), lit(60000L)) + 1000L)
+          // bounded so the 2-fps nominal frame count stays 2..7 per fixture
+          // video (the decode path is exercised, the fixture stays fast)
+          .when(col("kind") === "video", pmod(xxhash64(lit("d"), col("media_id")), lit(2500L)) + 1000L)
           .otherwise(lit(0L)))
       .withColumn("seed", xxhash64(lit("bytes"), col("media_id")))
       .as[MediaMeta]
@@ -256,7 +328,9 @@ object Multimodal {
         val bytes = m.kind match {
           case "image" => SyntheticMedia.pngBytes(m.seed, m.width, m.height)
           case "audio" => SyntheticMedia.wavBytes(m.seed, m.duration_ms)
-          case _ => SyntheticMedia.videoBytes(m.seed)
+          case _ => // 2-fps nominal MJPEG: duration 1000-3500 ms -> 2-7 frames
+            SyntheticMedia.mjpegBytes(m.seed, m.width, m.height,
+              math.max(2, (m.duration_ms * 2 / 1000L).toInt))
         }
         MediaRow(m.media_id, m.kind, bytes, m.mime, m.width, m.height, m.duration_ms)
       }
@@ -291,19 +365,31 @@ object Multimodal {
               val f = JdkCodec.audioFeatures(r.bytes, dim)
               if (f == null) bad
               else MediaFeatures(r.media_id, r.kind, ok = true, 0, 0, f, n_frames = 1)
-            case "video" => // JDK has no video codec -> documented stub kernel
-              MediaFeatures(r.media_id, r.kind, ok = true, r.width, r.height,
-                VideoStub.pseudoFeatures(r.bytes, dim),
-                VideoStub.frameCount(r.duration_ms, fps = 2))
+            case "video" =>
+              // MJPEG: split on real JPEG segment structure, decode every
+              // frame through the proven ImageIO path, report the MEAN
+              // per-frame feature vector + dims from the decoded pixels.
+              // Non-MJPEG video (H.264/MP4 — no JDK codec) splits to zero
+              // frames and lands here as ok=false, never fabricated.
+              val frames = JdkCodec.mjpegFrames(r.bytes)
+              val per = frames.map(f => JdkCodec.imageFeatures(f, dim))
+              if (per.isEmpty || per.contains(null)) bad
+              else {
+                val mean = Array.tabulate(dim)(i => per.map(_(i)).sum / per.length)
+                MediaFeatures(r.media_id, r.kind, ok = true,
+                  per.head(0).toInt, per.head(1).toInt, mean, per.length)
+              }
             case _ => bad // unknown/null kind: never fabricate features
           }
         }
       }
   }
 
-  /** Frame sampling for video: explode deterministic frame timestamps,
-    * featurize each. The per-frame kernel is [[VideoStub]] (no JDK video
-    * codec); the explode/timestamp/batch structure is the real operator. */
+  /** Frame sampling for video: one sample per `1/fps` tick across the
+    * clip's `duration_ms`, each featurized by REALLY decoding the nearest
+    * MJPEG frame (the container carries no per-frame timing, so decoded
+    * frames are taken as evenly spread over the metadata duration — the
+    * MJPEG convention). Undecodable payloads contribute no samples. */
   def sampleFrames(spark: SparkSession, media: DataFrame, fps: Int = 2, dim: Int = 16): Dataset[FrameSample] = {
     import spark.implicits._
     media.filter(col("kind") === "video")
@@ -311,11 +397,18 @@ object Multimodal {
         col("width"), col("height"), col("duration_ms"))
       .as[MediaRow]
       .flatMap { r =>
-        val n = VideoStub.frameCount(r.duration_ms, fps)
-        (0 until n).map { i =>
-          val tsMs = i.toLong * 1000L / fps
-          FrameSample(r.media_id, i, tsMs,
-            VideoStub.pseudoFeatures(r.bytes ++ BigInt(i).toByteArray, dim))
+        val frames = JdkCodec.mjpegFrames(r.bytes)
+        if (frames.isEmpty) Iterator.empty
+        else {
+          val nSamples = math.max(1, (r.duration_ms * fps / 1000L).toInt)
+          (0 until nSamples).iterator.flatMap { i =>
+            val tsMs = i.toLong * 1000L / fps
+            // nearest decoded frame under the even-spread convention
+            val src = math.min(frames.length - 1,
+              (tsMs * frames.length / math.max(1L, r.duration_ms)).toInt)
+            Option(JdkCodec.imageFeatures(frames(src), dim))
+              .map(f => FrameSample(r.media_id, i, tsMs, f))
+          }
         }
       }
   }

@@ -146,9 +146,31 @@ class SnapshotStore(val root: String) {
   /** All committed snapshot versions, ascending (the snapshot log). */
   def versions: Seq[Int] = manifestVersions
 
-  /** Delete data files not referenced by the latest manifest (mend analog). */
+  /**
+   * Retention: keep only the newest `keepLast` committed snapshot versions,
+   * deleting older manifests (Iceberg's `expire_snapshots`). Without this a
+   * long-running crawl accumulates one manifest per round forever, and
+   * replace-table history pins every frontier generation's data files.
+   * Expired versions become unreadable (`readAt` returns None); the
+   * retained versions — including their time travel and lineage — are
+   * untouched. Data files orphaned by expiration are reclaimed by the next
+   * [[vacuum]]. Returns the expired version numbers.
+   */
+  def expire(keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val toDrop = manifestVersions.dropRight(keepLast)
+    toDrop.foreach(v => fs.delete(new HPath(manifestsDir, s"v$v.json"), false))
+    toDrop
+  }
+
+  /** Delete data files referenced by NO committed (non-expired) manifest
+    * (mend analog). Scoped to the union of all retained manifests — not just
+    * the latest — so time travel to every version [[expire]] kept stays
+    * intact (replace-mode tables drop old files from later manifests, but an
+    * older retained manifest may still reference them). */
   def vacuum(): Seq[String] = {
-    val referenced = latest.map(_.files.values.flatten.toSet).getOrElse(Set.empty)
+    val referenced = manifestVersions.flatMap(readManifest)
+      .flatMap(_.files.values.flatten).toSet
     val removed = mutable.Buffer[String]()
     if (fs.exists(dataDir)) {
       walkFiles(dataDir)

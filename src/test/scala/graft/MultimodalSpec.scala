@@ -103,8 +103,8 @@ class MultimodalSpec extends SparkSpec {
       .toDF()
     val r = Multimodal.extractFeatures(spark, junk, dim = 16).collect()
     assert(r.length === 1 && !r(0).ok && r(0).features.isEmpty)
-    // an UNKNOWN kind must never fabricate features (only video/* is the
-    // sanctioned stub) — real WARC payloads will carry arbitrary kinds
+    // an UNKNOWN kind must never fabricate features — real WARC payloads
+    // will carry arbitrary kinds
     val odd = Seq(Multimodal.MediaRow("m1", "text", "bytes".getBytes, "text/plain", 0, 0, 0L))
       .toDF()
     val r2 = Multimodal.extractFeatures(spark, odd, dim = 16).collect()
@@ -152,13 +152,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out("small").bytes.sameElements(Multimodal.SyntheticMedia.pngBytes(7L, 8, 8)))
   }
 
-  test("video frame sampling: stub kernel, real frame/timestamp structure") {
+  test("mjpeg splitter: hand-built 2-frame stream, frames decode to their own pixels") {
+    // two INDEPENDENTLY ImageIO-encoded JPEGs (distinct solid colors so the
+    // decoded means are unambiguous), concatenated by hand — the golden for
+    // the marker-aware splitter, not produced by mjpegBytes itself
+    def solidJpeg(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val red = solidJpeg(0xff0000, 6, 4)
+    val blue = solidJpeg(0x0000ff, 6, 4)
+    val stream = red ++ blue
+    val frames = Multimodal.JdkCodec.mjpegFrames(stream)
+    assert(frames.length === 2)
+    assert(frames(0).sameElements(red) && frames(1).sameElements(blue))
+    // each split frame really decodes: red frame has high meanR/low meanB,
+    // blue frame the reverse (JPEG is lossy -> threshold, not equality)
+    val f0 = Multimodal.JdkCodec.imageFeatures(frames(0), 8)
+    val f1 = Multimodal.JdkCodec.imageFeatures(frames(1), 8)
+    assert(f0(0) === 6f && f0(1) === 4f)
+    assert(f0(2) > 200f && f0(4) < 80f, s"red frame means: ${f0.toSeq}")
+    assert(f1(4) > 200f && f1(2) < 80f, s"blue frame means: ${f1.toSeq}")
+    // a truncated tail frame yields only the complete frames before it
+    assert(Multimodal.JdkCodec.mjpegFrames(stream.dropRight(4)).length === 1)
+    assert(Multimodal.JdkCodec.mjpegFrames("garbage".getBytes).isEmpty)
+  }
+
+  test("video features/frames: real per-frame decode through extractFeatures/sampleFrames") {
     import spark.implicits._
     val v = Seq(Multimodal.MediaRow("v0", "video",
-      Multimodal.SyntheticMedia.videoBytes(1L), "video/mp4", 0, 0, 2500L)).toDF()
+      Multimodal.SyntheticMedia.mjpegBytes(1L, 12, 8, 5), "video/x-motion-jpeg", 12, 8, 2500L),
+      Multimodal.MediaRow("bad", "video",
+        "not an mjpeg stream at all".getBytes, "video/mp4", 0, 0, 1000L)).toDF()
+    val feats = Multimodal.extractFeatures(spark, v, dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    // n_frames = DECODED frame count; dims from the decoded pixels
+    assert(feats("v0").ok && feats("v0").n_frames === 5)
+    assert(feats("v0").width === 12 && feats("v0").height === 8)
+    // mean feature vector equals the hand-computed mean of per-frame decodes
+    val per = Multimodal.JdkCodec.mjpegFrames(Multimodal.SyntheticMedia.mjpegBytes(1L, 12, 8, 5))
+      .map(f => Multimodal.JdkCodec.imageFeatures(f, 8))
+    val mean = Array.tabulate(8)(i => per.map(_(i)).sum / per.length)
+    assert(feats("v0").features.toSeq === mean.toSeq)
+    // no JDK codec for compressed video -> honest failure, never fabricated
+    assert(!feats("bad").ok && feats("bad").features.isEmpty)
+
     val frames = Multimodal.sampleFrames(spark, v, fps = 2, dim = 8).collect()
+    assert(frames.forall(_.media_id == "v0"), "undecodable video contributes no samples")
     assert(frames.length === 5) // 2500 ms * 2 fps = 5
     assert(frames.map(_.ts_ms).sorted.toSeq === Seq(0L, 500L, 1000L, 1500L, 2000L))
+    // sample features come from REAL decoded frames: ts 0 maps to frame 0
+    val atZero = frames.find(_.ts_ms == 0L).get
+    assert(atZero.features.toSeq === per(0).toSeq)
     assert(frames.forall(_.features.length === 8))
   }
 }

@@ -30,6 +30,38 @@ class SnapshotSpec extends SparkSpec with GenHelpers {
     assert(store.read(spark, "warc_rows").get.count() === 2)
   }
 
+  test("retention: expire drops old versions, vacuum reclaims their files, survivors intact") {
+    import spark.implicits._
+    val store = new SnapshotStore(Files.createTempDirectory("snap-exp").toString)
+    for (r <- 0 until 4) store.commit(r, Map(
+      "warc_rows" -> Seq((r, s"u$r")).toDF("round", "uri"),
+      "frontier" -> Seq(s"f$r").toDF("url")))
+    assert(store.versions === Seq(0, 1, 2, 3))
+    // vacuum BEFORE expiration reclaims nothing: every replace-table
+    // generation is still referenced by some retained manifest (time travel)
+    assert(store.vacuum().isEmpty)
+
+    assert(store.expire(keepLast = 2) === Seq(0, 1))
+    assert(store.versions === Seq(2, 3))
+    // expired versions are unreadable; retained time travel + latest intact
+    assert(store.readAt(spark, "warc_rows", 0).isEmpty)
+    assert(store.readAt(spark, "warc_rows", 1).isEmpty)
+    assert(store.readAt(spark, "warc_rows", 2).get.count() === 3) // cumulative appends survive
+    assert(store.read(spark, "warc_rows").get.count() === 4)
+    assert(store.read(spark, "frontier").get.select("url").head().getString(0) === "f3")
+
+    // vacuum now reclaims exactly the expired replace-table generations
+    // (f0/f1); append-table files are still referenced by v2/v3's cumulative
+    // lists and survive
+    val removed = store.vacuum()
+    assert(removed.nonEmpty && removed.forall(_.contains("/frontier/")), removed.toString)
+    assert(removed.exists(_.contains("/r0")) && removed.exists(_.contains("/r1")))
+    assert(store.readAt(spark, "frontier", 2).get.select("url").head().getString(0) === "f2")
+    assert(store.read(spark, "warc_rows").get.count() === 4)
+    // expire is idempotent at the floor
+    assert(store.expire(keepLast = 2).isEmpty)
+  }
+
   test("property: WarcIO write->read round-trips arbitrary records") {
     val keyGen = Gen.oneOf("WARC-Type", "WARC-Target-URI", "X-Custom-A", "B-Custom")
     val valGen = Gen.alphaNumStr.suchThat(_.length <= 40)
