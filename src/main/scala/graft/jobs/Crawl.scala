@@ -54,6 +54,12 @@ object Crawl {
       concurrentJobs: Boolean = false,
       baseEpoch: Long = 1700000000L,
       useBloomPrefilter: Boolean = true,
+      // snapshot retention: keep the last K committed versions, expiring
+      // older manifests + vacuuming their orphaned data files after each
+      // round's commit. None = keep everything (full time-travel history).
+      // A 100-round crawl otherwise accumulates one manifest per round AND
+      // pins every frontier/filters generation's files forever.
+      snapshotKeepLast: Option[Int] = None,
       // per-round counter collection (A1 analog). Costs two extra driver
       // round-trips per round; benchmarks turn it off (outputs unchanged —
       // the counters are derivable from warc_rows afterwards).
@@ -276,6 +282,11 @@ object Crawl {
             Map("total_scheduled" -> totalScheduled, "round_scheduled" -> nScheduled,
               "num_shards" -> cfg.numShards.toLong,
               "bloom_blocks_per_shard" -> cfg.bloomBlocksPerShard.toLong))
+          // retention AFTER the commit: expire keeps the newest K manifests
+          // (always including the one just written), vacuum reclaims files
+          // no retained manifest references — the rebound reads below only
+          // ever touch latest-manifest files, which retention never drops
+          cfg.snapshotKeepLast.foreach { k => s.expire(k); s.vacuum() }
           // rebind state to committed files (truncates lineage, enables resume)
           seenKeys = s.read(spark, "url_seen").get
           digestSeen = s.read(spark, "digest_seen").get
