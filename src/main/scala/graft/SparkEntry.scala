@@ -671,6 +671,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q59_chunk_dedup" -> ((s, dir) => {
+      // chunk-aligned exact-substring dedup (ExactSubstr's shuffle-friendly
+      // variant): repeated 10-token chunks removed corpus-wide, first
+      // occurrence wins, text reassembled in order
+      DedupOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
+        .select(col("id").cast("long").as("doc_id"), col("text"),
+          col("n_chunks"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    "q60_pii_scrub" -> ((s, dir) => {
+      // PII scrubbing over deterministically-injected PII (the corpus has
+      // none; both engines build the SAME injected text from doc_id, so the
+      // scrub machinery is verified on real replacements, not a no-op —
+      // the q57 vacuous-pass lesson applied in advance)
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com"),
+          lit(" or +1-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), (pmod(col("doc_id"), lit(254)) + 1).cast("string")
+        ).as("raw"))
+      val (e, p, ip) = graft.ops.TextOps.piiCounts(col("raw"))
+      injected.select(col("doc_id"),
+        graft.ops.TextOps.piiScrub(col("raw")).as("clean"),
+        e.cast("long").as("n_email"), p.cast("long").as("n_phone"), ip.cast("long").as("n_ip"))
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1278,6 +1308,57 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(s_a, s_b)) AS DOUBLE) /
          |      (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q59_chunk_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |  nz AS (SELECT doc_id, toks, CAST(ceil(len(toks)/10.0) AS BIGINT) AS n_chunks
+        |         FROM tok WHERE len(toks) > 0),
+        |  ch AS (
+        |  SELECT doc_id, n_chunks,
+        |         unnest(list_transform(range(n_chunks),
+        |           i -> {'idx': i, 'chunk': array_to_string(toks[CAST(i*10+1 AS BIGINT):CAST((i+1)*10 AS BIGINT)], ' ')})) AS u
+        |  FROM nz),
+        |  ch2 AS (SELECT doc_id, n_chunks, u.idx AS idx, u.chunk AS chunk FROM ch),
+        |  k AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS keep FROM ch2),
+        |  agg AS (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx), '') AS text2,
+        |         max(n_chunks) AS n_chunks, sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text2, '') AS text,
+        |       CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |       CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q60_pii_scrub" -> {
+      // patterns interpolated from TextOps so Spark and the oracle can never
+      // drift; the injected-PII construction is mirrored verbatim
+      val em = graft.ops.TextOps.EmailPattern
+      val ph = graft.ops.TextOps.PhonePattern
+      val ip = graft.ops.TextOps.Ipv4Pattern
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.example.com'
+         |              || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id % 254) + 1) AS raw
+         |  FROM documents),
+         |  st AS (
+         |  SELECT doc_id, raw,
+         |         regexp_replace(raw, '$em', '[EMAIL]', 'g') AS no_email
+         |  FROM inj),
+         |  st2 AS (
+         |  SELECT doc_id, raw, no_email,
+         |         regexp_replace(no_email, '$ph', '[PHONE]', 'g') AS no_phone
+         |  FROM st)
+         |SELECT doc_id,
+         |       regexp_replace(no_phone, '$ip', '[IP]', 'g') AS clean,
+         |       CAST(len(regexp_extract_all(raw, '$em')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(no_email, '$ph')) AS BIGINT) AS n_phone,
+         |       CAST(len(regexp_extract_all(no_phone, '$ip')) AS BIGINT) AS n_ip
+         |FROM st2 ORDER BY doc_id""".stripMargin
     },
 
     "q48_dedup_clusters" ->

@@ -283,6 +283,63 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /**
+   * Chunk-aligned exact-substring dedup — the shuffle-friendly variant of
+   * suffix-array ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): each document's token
+   * stream is cut into fixed `chunkTokens` windows aligned to chunk
+   * boundaries, and any chunk whose exact token sequence appeared earlier in
+   * the corpus (global first-occurrence-wins, ordered by (`orderCol`, chunk
+   * index)) is REMOVED from the reassembled text. Repeated passages —
+   * boilerplate headers, license blocks, mirrored articles — disappear
+   * wherever they recur, within or across documents.
+   *
+   * The boundary alignment is the scalability trade: a duplicated span
+   * straddling a chunk boundary survives (suffix arrays catch it; they also
+   * need a corpus-wide sorted index no shuffle can build incrementally).
+   * Work is ONE shuffle keyed by the chunk text (exact string identity — a
+   * 64-bit hash key would save shuffle bytes at a ~1e-19 false-drop risk;
+   * at 100 TB switch the partition key to xxhash64(chunk) and keep the
+   * string equality check in the window ordering) plus one groupBy(id) to
+   * reassemble. Window groups are bounded by per-chunk duplicate counts.
+   *
+   * Returns (id, text, n_chunks, n_dropped) — text rebuilt from surviving
+   * chunks in order, empty when everything was dropped.
+   */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 10, orderCol: String = null): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val ord = Option(orderCol).getOrElse(idCol)
+    val k = chunkTokens
+    val toksed = df.select(col(idCol).as("id"), col(ord).as("ord"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    // token-bearing docs only; empty docs rejoin (unchanged) at the end
+    val chunks = toksed.filter(size(col("toks")) > 0)
+      .withColumn("n_chunks",
+        ceil(size(col("toks")).cast("double") / k).cast("long"))
+      .select(col("id"), col("ord"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"), lit(k))))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+    // first occurrence wins; `ord` must be unique per doc (the default — the
+    // id — is) so the winner is deterministic
+    val w = Window.partitionBy(col("chunk")).orderBy(col("ord"), col("idx"))
+    val kept = chunks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("idx"), col("chunk"))))),
+          s => array(s.getField("chunk"))))).as("text"),
+        max(col("n_chunks")).as("n_chunks"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+    df.select(col(idCol).as("id")).join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** SimHash near-duplicate pairs: banded candidates, Hamming-verified.
     * Stages: tokens -> hashes -> votes -> simhash, each an attribute.
     * `tokenHash` defaults to the fast xxhash64; pass

@@ -266,4 +266,39 @@ object TextOps {
     when(size(toks) < n, array(xxhash64(toks))).otherwise(
       transform(sequence(lit(0), size(toks) - n),
         i => xxhash64(slice(toks, i + 1, lit(n)))))
+
+  // ---------------------------------------------------------- PII scrubbing
+
+  /** PII patterns, deliberately RE2-compatible (no lookaround, no
+    * backreferences, explicit character classes) so an external engine —
+    * the DuckDB oracle (q60), or a downstream Go/Rust scrubber — runs the
+    * IDENTICAL pattern with identical matches. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{1,4})?"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /**
+   * Scrub PII into typed placeholders: emails -> `[EMAIL]`, then
+   * international phone numbers -> `[PHONE]`, then IPv4 literals -> `[IP]`.
+   * Order matters and is part of the contract: emails are replaced first so
+   * their digit runs can't be mistaken for phones, and IPs last so dotted
+   * quads inside an email's domain are already gone. Pure codegen
+   * `regexp_replace` chain — narrow, no shuffle, the 100 TB-friendly shape.
+   */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
+  /** Per-category PII hit counts (for the scrub report; same patterns, same
+    * order-of-application semantics as [[piiScrub]]). */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val noEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "[PHONE]")
+    (regexp_count(text, lit(EmailPattern)),
+      regexp_count(noEmail, lit(PhonePattern)),
+      regexp_count(noPhone, lit(Ipv4Pattern)))
+  }
 }

@@ -206,4 +206,30 @@ class DedupOpsSpec extends SparkSpec {
     // the two planted high-jaccard pairs must be recalled
     assert(got.map(p => (p._1, p._2)).toSet.contains((0L, 7L)))
   }
+
+  test("chunkDedup: repeated chunks removed first-occurrence-wins, text reassembled") {
+    import spark.implicits._
+    // 4-token chunks; doc 0 carries the boilerplate, doc 1 repeats it
+    // around its own middle chunk, doc 2 repeats a chunk WITHIN itself,
+    // doc 3 is empty, doc 4 is all-unique
+    val boiler = "all rights reserved worldwide" // one aligned 4-token chunk
+    val docs = Seq(
+      (0L, s"$boiler and some original words here"),
+      (1L, s"$boiler its own middle content $boiler"),
+      (2L, "w x y z w x y z"),
+      (3L, "   "),
+      (4L, "totally fresh unique content")).toDF("doc_id", "text")
+    val got = DedupOps.chunkDedup(docs, "doc_id", "text", chunkTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0 first: keeps everything (9 tokens -> 3 chunks, all unique)
+    assert(got(0L) === ((s"$boiler and some original words here", 3L, 0L)))
+    // doc 1: BOTH aligned boilerplate occurrences dropped (the first was
+    // claimed by doc 0); its own middle chunk survives
+    assert(got(1L) === (("its own middle content", 3L, 2L)))
+    // doc 2: second identical within-doc chunk dropped
+    assert(got(2L) === (("w x y z", 2L, 1L)))
+    // empty doc survives as empty
+    assert(got(3L) === (("", 0L, 0L)))
+    assert(got(4L) === (("totally fresh unique content", 1L, 0L)))
+  }
 }

@@ -212,4 +212,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(withId.columns.contains("id"))
     assert(withId.select("id", "contaminated").head().getLong(0) === 7L)
   }
+
+  test("piiScrub: typed placeholders, ordered application, counts agree") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at alice.smith+spam@sub.example.co.uk today", "mail me at [EMAIL] today"),
+      ("call +44-207-946-0958 or +1-55-0100", "call [PHONE] or +1-55-0100"), // 2nd: 2-digit middle, no match
+      ("server at 192.168.0.1 and 10.255.254.3", "server at [IP] and [IP]"),
+      // email containing a dotted quad in its domain scrubs as ONE email,
+      // never leaking an [IP] inside the placeholder
+      ("bot@10.0.0.5.example.com pinged", "[EMAIL] pinged"),
+      ("no pii here at all", "no pii here at all"))
+      .toDF("raw", "expect")
+    val got = rows.select(graft.ops.TextOps.piiScrub(col("raw")).as("clean"), col("expect"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+    val (e, p, ip) = graft.ops.TextOps.piiCounts(col("raw"))
+    val counts = rows.select(e.as("e"), p.as("p"), ip.as("ip")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(counts === Seq((1, 0, 0), (0, 1, 0), (0, 0, 2), (1, 0, 0), (0, 0, 0)))
+  }
 }
