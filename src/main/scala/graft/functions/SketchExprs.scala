@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Tight-loop sketch kernels as codegen'd static calls — the custom
@@ -45,6 +46,66 @@ object SketchUtil {
       j += 1
     }
     new GenericArrayData(sig)
+  }
+
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /**
+   * SORTED-DISTINCT portable hashes of all `k`-character shingles of a
+   * string, in one pass: per shingle, the signed-64 big-endian view of the
+   * first 8 md5 bytes of its UTF-8 encoding — bit-identical to
+   * `array_sort(array_distinct(transform(shingles, PipelineOps
+   * .portableHash64)))` over `substring` windows (md5 hex prefix 16 = first
+   * 8 digest bytes; Spark's md5() hashes the UTF-8 cast). Texts shorter
+   * than `k` characters contribute one whole-text shingle. The HOF form
+   * allocated one UTF8String per window plus a digest instance per md5 call
+   * (~5M of each per sf0.1 q57 run — its single heaviest measured stage);
+   * this kernel reuses one thread-local digest and, on ASCII input, windows
+   * the byte array in place. Non-ASCII falls back to codepoint-correct
+   * `UTF8String.substring` windows (asserted equal in DedupOpsSpec).
+   */
+  def portableShingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val md = Md5.get()
+    val out16 = new Array[Byte](16)
+    def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+      md.reset()
+      md.update(bytes, off, len)
+      md.digest(out16, 0, 16)
+      ((out16(0) & 0xffL) << 56) | ((out16(1) & 0xffL) << 48) |
+        ((out16(2) & 0xffL) << 40) | ((out16(3) & 0xffL) << 32) |
+        ((out16(4) & 0xffL) << 24) | ((out16(5) & 0xffL) << 16) |
+        ((out16(6) & 0xffL) << 8) | (out16(7) & 0xffL)
+    }
+    val nChars = text.numChars()
+    val bytes = text.getBytes
+    val hs: Array[Long] =
+      if (nChars < k) Array(hashRange(bytes, 0, bytes.length))
+      else if (bytes.length == nChars) { // ASCII: byte windows ARE char windows
+        val n = nChars - k + 1
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = hashRange(bytes, i, k); i += 1 }
+        a
+      } else { // multi-byte codepoints: codepoint-correct substring windows
+        val n = nChars - k + 1
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val b = text.substring(i, i + k).getBytes
+          a(i) = hashRange(b, 0, b.length)
+          i += 1
+        }
+        a
+      }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
   }
 
   /** SimHash-64 from PRE-HASHED tokens: votes[i] = Σ ±1 by bit i of each
@@ -98,9 +159,25 @@ case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64_from_hashes"
 }
 
+/** `portable_shingle_hashes(text, k)`: sorted-distinct signed-64 md5-prefix
+  * hashes of all k-char shingles (see [[SketchUtil.portableShingleHashes]]). */
+case class PortableShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    SketchUtil.portableShingleHashes(a.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchUtil.portableShingleHashes($a, $k);")
+  override protected def withNewChildInternal(c: Expression): PortableShingleHashes = copy(child = c)
+  override def prettyName: String = "portable_shingle_hashes"
+}
+
 object SketchExprs {
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
   def simhash64_from_hashes(hashes: Column): Column =
     Bridge.column(SimHash64FromHashes(Bridge.expression(hashes)))
+  def portable_shingle_hashes(text: Column, k: Int): Column =
+    Bridge.column(PortableShingleHashes(Bridge.expression(text), k))
 }

@@ -237,22 +237,19 @@ object DedupOps {
     require(numHashes % bandsCount == 0, "bands must divide hashes")
     val rowsPerBand = numHashes / bandsCount
     val k = shingleSize
-    val hash = graft.ops.PipelineOps.portableHash64 _
     val prep = df.select(col(idCol).as("id"),
       regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("norm"))
-    // hash ALL shingles, dedupe on the 64-bit hashes (array_distinct over
-    // longs beats array_distinct over the 5-char strings — measured: string
-    // distinct was the single heaviest stage of the old pipeline), then
-    // materialize the (id, distinct-hash-set) frame ONCE: both the
-    // signature/band branch and the exact-Jaccard verification branch read
-    // it, instead of re-running the shingle+md5 lineage per branch (the
-    // double traversal was half the old runtime). ~8 B x distinct-shingles
-    // per row; a production-scale run would persist this to storage instead.
+    // ONE-PASS codegen kernel for the shingle hashes (bit-identical to the
+    // substr->md5->distinct->sort HOF chain, asserted in DedupOpsSpec; the
+    // HOF form's 5M UTF8String windows + per-call digest setup were the
+    // pipeline's single heaviest measured stage), then materialize the
+    // (id, sorted-distinct-hash-set) frame ONCE: both the signature/band
+    // branch and the exact-Jaccard verification branch read it, instead of
+    // re-running the shingle+md5 lineage per branch (the double traversal
+    // was half the old runtime). ~8 B x distinct-shingles per row; a
+    // production-scale run would persist this to storage instead.
     val withH = prep.select(col("id"),
-      when(length(col("norm")) < k, array(col("norm")))
-        .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
-          i => col("norm").substr(i + 1, lit(k)))).as("shingles"))
-      .select(col("id"), array_distinct(transform(col("shingles"), s => hash(s))).as("hs"))
+      graft.functions.SketchExprs.portable_shingle_hashes(col("norm"), k).as("hs"))
       .localCheckpoint(true)
     // per-slot min of XOR-salted hashes; `hs` is a checkpointed attribute so
     // each of the numHashes min-passes reads the long array, not the md5
@@ -271,7 +268,7 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val hashedSets = withH.select(col("id"), array_sort(col("hs")).as("hs"))
+    val hashedSets = withH // kernel output is already sorted-distinct
     val shA = hashedSets.select(col("id").as("id_a"), col("hs").as("sh_a"))
     val shB = hashedSets.select(col("id").as("id_b"), col("hs").as("sh_b"))
     val inter = graft.functions.ArraySetOps

@@ -207,6 +207,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).toSet.contains((0L, 7L)))
   }
 
+  test("portable shingle-hash kernel is bit-identical to the HOF md5 chain (incl. non-ASCII)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc déü東 01"
+    val docs = ((0 until 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(90)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ (999L, "ab")).toDF("id", "norm") // "ab": shorter than k -> whole-text shingle
+    val k = 5
+    val hofShingles = when(length(col("norm")) < k, array(col("norm")))
+      .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
+        i => col("norm").substr(i + 1, lit(k))))
+    val cmp = docs.select(
+      graft.functions.SketchExprs.portable_shingle_hashes(col("norm"), k).as("krn"),
+      array_sort(array_distinct(transform(hofShingles,
+        s => graft.ops.PipelineOps.portableHash64(s)))).as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("chunkDedup: repeated chunks removed first-occurrence-wins, text reassembled") {
     import spark.implicits._
     // 4-token chunks; doc 0 carries the boilerplate, doc 1 repeats it
