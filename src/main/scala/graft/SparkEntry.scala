@@ -701,6 +701,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q61_epoch_shuffle" -> ((s, dir) => {
+      // seeded epoch order with a contiguous global rank (two-phase prefix
+      // sum — not a one-partition window); DuckDB reproduces the md5 order
+      graft.ops.PipelineOps.epochShuffle(t(s, dir, "documents"), "doc_id", seed = 7L)
+        .select(col("doc_id"), col("epoch_rank"))
+        .orderBy("doc_id")
+    }),
+
+    "q62_split_assign" -> ((s, dir) => {
+      graft.ops.PipelineOps.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 3L)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1359,6 +1374,26 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(no_email, '$ph')) AS BIGINT) AS n_phone,
          |       CAST(len(regexp_extract_all(no_phone, '$ip')) AS BIGINT) AS n_ip
          |FROM st2 ORDER BY doc_id""".stripMargin
+    },
+
+    "q61_epoch_shuffle" ->
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY md5('7:' || doc_id), doc_id) - 1 AS epoch_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q62_split_assign" -> {
+      // interval bounds interpolated from the op itself: float-sum drift
+      // cannot diverge the engines
+      val b = graft.ops.PipelineOps.splitBounds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      s"""SELECT doc_id,
+         |       CASE WHEN u < ${b(0)} THEN 'train'
+         |            WHEN u < ${b(1)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        CAST(CAST('0x' || substr(md5('3:' || doc_id), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q48_dedup_clusters" ->

@@ -172,6 +172,62 @@ object PipelineOps {
   }
 
   /**
+   * Deterministic epoch shuffle: the pre-training "shuffle the corpus by
+   * seed each epoch" primitive, as a seeded pseudo-random TOTAL order with
+   * a contiguous global rank. The order key is md5(seed:id) — portable, so
+   * an epoch's order is reproducible across runs and engines (resume
+   * mid-epoch = filter epoch_rank >= checkpoint), with the id as tiebreak.
+   * The global rank is [[packSequences]] with unit token counts (same
+   * two-phase prefix sum: range-sort, P partition counts to the driver,
+   * broadcast offsets — explicitly NOT a one-partition window), so rank i
+   * is exactly the i-th row of the seeded order. `carryCols` ride through
+   * the one range exchange.
+   */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+                   numParts: Int = 0, carryCols: Seq[String] = Nil): DataFrame = {
+    val keyed = df.withColumn("__ep_key",
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+    packSequences(keyed, idCol, "__ep_key", lit(1L), budget = 1,
+      numParts = numParts, carryCols = carryCols)
+      .select(Seq(col(idCol), col("start_offset").as("epoch_rank")) ++
+        carryCols.map(col): _*)
+  }
+
+  /**
+   * Deterministic train/val/test split assignment: each row's label is the
+   * first split whose cumulative weight fraction exceeds the row's
+   * md5-uniform coin (seed:id). Properties the ad-hoc `rand()` split does
+   * NOT have: stable under corpus growth (a document's split never changes
+   * when other documents arrive — the membership-by-own-hash property that
+   * prevents silent eval contamination on re-splits), reproducible across
+   * engines (q62's DuckDB oracle runs the identical arithmetic), and
+   * shuffle-free (a narrow map). Cumulative bounds are computed ONCE here
+   * and interpolated into any oracle, so float-sum drift can't diverge the
+   * two engines.
+   */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
+      "split weights must be non-negative with a positive sum")
+    val bounds = splitBounds(splits)
+    val u = hashUnit(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    // the coin is staged as an attribute: the CASE references it once per
+    // branch and md5 must be computed once per row, not once per branch
+    val label = splits.init.zip(bounds.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) => when(col("__split_u") < c, lit(name)).otherwise(acc)
+    }
+    df.withColumn("__split_u", u).withColumn("split", label).drop("__split_u")
+  }
+
+  /** Cumulative upper bounds of each split's interval in [0,1] — exposed so
+    * oracles interpolate the EXACT doubles [[assignSplits]] compares with. */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[Double] = {
+    val total = splits.map(_._2).sum
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+  }
+
+  /**
    * Materialize the packed training sequences: split each document's token
    * run at the sequence boundaries it straddles and reassemble exact
    * `budget`-token sequences (the final text every sequence except the tape

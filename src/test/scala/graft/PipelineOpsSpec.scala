@@ -213,6 +213,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(withId.select("id", "contaminated").head().getLong(0) === 7L)
   }
 
+  test("epochShuffle: seeded permutation with contiguous rank, partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r1 = PipelineOps.epochShuffle(docs, "doc_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contiguous rank: a permutation of 0..n-1
+    assert(r1.values.toSeq.sorted === (0L until 300L))
+    // matches the brute-force seeded order
+    val expect = (0L until 300L).sortBy { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(s"7:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString, id)
+    }.zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
+    assert(r1 === expect)
+    // partition-count invariant (the rank must not depend on the plan)
+    val r2 = PipelineOps.epochShuffle(docs.repartition(7), "doc_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === r1)
+    // another seed is a different permutation
+    val r3 = PipelineOps.epochShuffle(docs, "doc_id", seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 !== r1)
+  }
+
+  test("assignSplits: stable under corpus growth, deterministic, sane fractions") {
+    import spark.implicits._
+    val small = (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val grown = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      PipelineOps.assignSplits(df, "doc_id", splits, seed = 3L)
+        .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = labels(small); val b = labels(grown)
+    // membership-by-own-hash: growing the corpus never relabels a document
+    a.foreach { case (id, l) => assert(b(id) === l, s"doc $id relabeled on growth") }
+    // all three splits materialize with roughly the asked-for mass
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.05 && frac("val") < 0.15)
+    assert(frac("test") > 0.05 && frac("test") < 0.15)
+  }
+
   test("piiScrub: typed placeholders, ordered application, counts agree") {
     import spark.implicits._
     val rows = Seq(
