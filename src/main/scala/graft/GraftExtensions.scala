@@ -77,6 +77,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash64",
       "simhash64(hashes) - 64-bit SimHash of an array<bigint> of token hashes", 1,
       args => SimHash64FromHashes(args.head))
+    register(ext, "portable_shingle_hashes",
+      "portable_shingle_hashes(text, k) - sorted-distinct signed-64 md5-prefix " +
+        "hashes of all k-char shingles (cross-engine-reproducible MinHash input)", 2,
+      args => args(1) match {
+        case Literal(k: Integer, _) => graft.functions.PortableShingleHashes(args.head, k.intValue)
+        case other => throw new IllegalArgumentException(
+          s"portable_shingle_hashes k must be an integer literal, got $other")
+      })
+    register(ext, "graft_pii_scrub",
+      "graft_pii_scrub(text) - emails/phones/IPv4 replaced by [EMAIL]/[PHONE]/[IP] " +
+        "in that order (RE2-portable patterns)", 1,
+      args => {
+        // resolved catalyst nodes (a Column built here would stay an
+        // unresolved function inside the builder); same pattern constants,
+        // same application order as TextOps.piiScrub
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
+        def rr(child: Expression, pat: String, rep: String): Expression =
+          RegExpReplace(child, L.create(pat), L.create(rep))
+        rr(rr(rr(args.head,
+          graft.ops.TextOps.EmailPattern, "[EMAIL]"),
+          graft.ops.TextOps.PhonePattern, "[PHONE]"),
+          graft.ops.TextOps.Ipv4Pattern, "[IP]")
+      })
     register(ext, "http_payload",
       "http_payload(block) - bytes after the first CRLFCRLF of a binary " +
         "HTTP message (null if absent); the payload-digest cut", 1,

@@ -44,6 +44,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
   }
 
+  test("portable_shingle_hashes and graft_pii_scrub are SQL-reachable, identical to the API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq("hello world shingles", "ab").toDF("s").createOrReplaceTempView("t_portable")
+    val viaSql = spark.sql(
+      """SELECT portable_shingle_hashes(s, 5) AS hs, graft_pii_scrub(s || ' x@y.io') AS c
+        |FROM t_portable ORDER BY s""".stripMargin).collect()
+    val viaApi = spark.table("t_portable")
+      .select(graft.functions.SketchExprs.portable_shingle_hashes(col("s"), 5).as("hs"),
+        graft.ops.TextOps.piiScrub(concat(col("s"), lit(" x@y.io"))).as("c"))
+      .orderBy("s").collect()
+    assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
+    assert(viaSql.forall(_.getString(1).endsWith("[EMAIL]")))
+  }
+
   test("warc_digest rejects a non-literal algo (plan-time constant, like the reference enum)") {
     val e = intercept[Exception] {
       spark.sql("SELECT warc_digest('x', lower('SHA1'))").collect()
