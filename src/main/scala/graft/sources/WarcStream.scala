@@ -29,9 +29,12 @@ import org.apache.spark.sql.types.StructType
  * CAVEAT (shared with FileStreamSource): a file whose modification time is
  * already older than `maxFileAgeMs` when FIRST listed — e.g. after stream
  * downtime longer than the window, or archives bulk-copied with preserved
- * mtimes — is never processed; it ages straight out of eligibility. Such
- * files are logged (once each) so the drop is visible; backfill them with
- * the BATCH scan (`spark.read.format(warc)`), or raise `maxFileAgeMs`.
+ * mtimes — is never processed; it ages straight out of eligibility. Only
+ * such STALE-ON-ARRIVAL files are logged (once each) so the drop is
+ * visible — files that were fresh in an earlier offset (i.e. consumed) age
+ * out of the window silently, which is the stream working as designed.
+ * Backfill genuine drops with the BATCH scan (`spark.read.format(warc)`),
+ * or raise `maxFileAgeMs`.
  */
 class WarcMicroBatchStream(path: String, required: StructType,
                            filters: Array[Filter], maxPartitionBytes: Long,
