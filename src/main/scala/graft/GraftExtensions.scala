@@ -37,6 +37,19 @@ import graft.functions.{MinHashSig, SimHash64FromHashes, SortedIntersectCount, U
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Any integral literal (tinyint..bigint within Int range) as an Int —
+    * the same plan-time-constant leniency graft_snapshot's version has. */
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Number, _)
+        if (v.isInstanceOf[java.lang.Byte] || v.isInstanceOf[java.lang.Short] ||
+          v.isInstanceOf[java.lang.Integer] ||
+          (v.isInstanceOf[java.lang.Long] &&
+            v.longValue >= Int.MinValue && v.longValue <= Int.MaxValue)) =>
+      v.intValue
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integral literal (within Int range), got $other")
+  }
+
   private def register(ext: SparkSessionExtensions, name: String, usage: String,
                        arity: Int, build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
@@ -69,22 +82,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_sig",
       "minhash_sig(shingles, n) - n-slot MinHash signature of a string array " +
         "(xxhash64 chain, bit-compatible with the DedupOps HOF form)", 2,
-      args => args(1) match {
-        case Literal(n: Integer, _) => MinHashSig(args.head, n.intValue)
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig n must be an integer literal, got $other")
-      })
+      args => MinHashSig(args.head, intLit(args(1), "minhash_sig n")))
     register(ext, "simhash64",
       "simhash64(hashes) - 64-bit SimHash of an array<bigint> of token hashes", 1,
       args => SimHash64FromHashes(args.head))
     register(ext, "portable_shingle_hashes",
       "portable_shingle_hashes(text, k) - sorted-distinct signed-64 md5-prefix " +
         "hashes of all k-char shingles (cross-engine-reproducible MinHash input)", 2,
-      args => args(1) match {
-        case Literal(k: Integer, _) => graft.functions.PortableShingleHashes(args.head, k.intValue)
-        case other => throw new IllegalArgumentException(
-          s"portable_shingle_hashes k must be an integer literal, got $other")
-      })
+      args => graft.functions.PortableShingleHashes(args.head,
+        intLit(args(1), "portable_shingle_hashes k")))
     register(ext, "graft_pii_scrub",
       "graft_pii_scrub(text) - emails/phones/IPv4 replaced by [EMAIL]/[PHONE]/[IP] " +
         "in that order (RE2-portable patterns)", 1,

@@ -325,9 +325,9 @@ object DedupOps {
       .withColumn("keep", row_number().over(w) === 1)
       .groupBy(col("id"))
       .agg(
-        concat_ws(" ", flatten(transform(
+        concat_ws(" ", transform(
           array_sort(collect_list(when(col("keep"), struct(col("idx"), col("chunk"))))),
-          s => array(s.getField("chunk"))))).as("text"),
+          s => s.getField("chunk"))).as("text"),
         max(col("n_chunks")).as("n_chunks"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
     df.select(col(idCol).as("id")).join(kept, Seq("id"), "left")

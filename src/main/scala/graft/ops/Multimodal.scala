@@ -188,6 +188,7 @@ object Multimodal {
                 case 0xd9 => end = p + 2 // EOI with no SOS: header-only frame
                 case 0x01 => p += 2 // TEM: standalone
                 case m if m >= 0xd0 && m <= 0xd7 => p += 2 // RSTn: standalone
+                case 0xff => p += 1 // FF fill byte before a marker (legal padding)
                 case 0xda => // SOS: segment header, then entropy-coded data
                   if (p + 3 >= n) broken = true
                   else { p += 2 + ((b(p + 2) << 8) | b(p + 3)); inEntropy = true }
@@ -206,7 +207,9 @@ object Multimodal {
             }
           }
           if (end > 0) { out += java.util.Arrays.copyOfRange(bytes, start, end); i = end }
-          else i = n // incomplete/corrupt tail frame: keep what we have
+          else if (broken) i = start + 2 // resync: scan for the next SOI — one
+          // corrupt frame must not discard every decodable frame after it
+          else i = n // ran off the end: truncated tail frame, keep what we have
         } else i += 1
       }
       out.toArray
@@ -400,14 +403,22 @@ object Multimodal {
         val frames = JdkCodec.mjpegFrames(r.bytes)
         if (frames.isEmpty) Iterator.empty
         else {
+          // each DISTINCT frame decodes once, however many sample ticks map
+          // to it (a long clip with few frames would otherwise re-decode the
+          // same JPEG per tick)
+          val decoded = new Array[Array[Float]](frames.length)
+          val tried = new Array[Boolean](frames.length)
+          def featuresOf(src: Int): Array[Float] = {
+            if (!tried(src)) { tried(src) = true; decoded(src) = JdkCodec.imageFeatures(frames(src), dim) }
+            decoded(src)
+          }
           val nSamples = math.max(1, (r.duration_ms * fps / 1000L).toInt)
           (0 until nSamples).iterator.flatMap { i =>
             val tsMs = i.toLong * 1000L / fps
             // nearest decoded frame under the even-spread convention
             val src = math.min(frames.length - 1,
               (tsMs * frames.length / math.max(1L, r.duration_ms)).toInt)
-            Option(JdkCodec.imageFeatures(frames(src), dim))
-              .map(f => FrameSample(r.media_id, i, tsMs, f))
+            Option(featuresOf(src)).map(f => FrameSample(r.media_id, i, tsMs, f))
           }
         }
       }

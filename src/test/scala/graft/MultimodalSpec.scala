@@ -180,6 +180,14 @@ class MultimodalSpec extends SparkSpec {
     // a truncated tail frame yields only the complete frames before it
     assert(Multimodal.JdkCodec.mjpegFrames(stream.dropRight(4)).length === 1)
     assert(Multimodal.JdkCodec.mjpegFrames("garbage".getBytes).isEmpty)
+    // RESYNC: a corrupt first frame must not discard the decodable second —
+    // clobber a header byte (breaks segment structure) and assert the
+    // splitter recovers frame 2 at the next SOI
+    val corrupted = stream.clone()
+    corrupted(2) = 0x00.toByte // frame 1's APP0 marker FF -> structure broken
+    val recovered = Multimodal.JdkCodec.mjpegFrames(corrupted)
+    assert(recovered.length === 1 && recovered(0).sameElements(blue),
+      s"expected resync to recover the blue frame, got ${recovered.length}")
   }
 
   test("video features/frames: real per-frame decode through extractFeatures/sampleFrames") {
