@@ -251,4 +251,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(3L) === (("", 0L, 0L)))
     assert(got(4L) === (("totally fresh unique content", 1L, 0L)))
   }
+
+  test("chunkDedup property: random corpora match the brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Array("aa", "bb", "cc", "dd") // tiny vocab -> many chunk collisions
+    val docs = (0L until 80L).map { i =>
+      (i, (0 until rnd.nextInt(14)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val k = 3
+    // brute force: global first-occurrence-wins over (doc order, chunk idx)
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val chunks = toks.grouped(k).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(c => seen.add(c))
+      id -> ((kept.mkString(" "), chunks.length.toLong, (chunks.length - kept.length).toLong))
+    }.toMap
+    val got = DedupOps.chunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens = k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, _) => assert(got(id) === expect(id), s"doc $id") }
+  }
 }

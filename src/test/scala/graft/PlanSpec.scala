@@ -57,6 +57,20 @@ class PlanSpec extends SparkSpec {
     assert(mat.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
   }
 
+  test("q59/q61: new pipeline ops never collapse to a one-partition window") {
+    // chunkDedup's first-occurrence window partitions by the chunk value
+    val p59 = planOf("q59_chunk_dedup")
+    assert(p59.contains("Window ["), p59.take(600))
+    assert(p59.contains("windowspecdefinition(chunk"),
+      "chunk window must partition by chunk, not be global:\n" + p59.take(1200))
+    // epochShuffle's rank comes from the two-phase prefix sum: a RANGE
+    // repartition must appear and NO Window node at all
+    val p61 = planOf("q61_epoch_shuffle")
+    assert(p61.contains("rangepartitioning"), p61.take(900))
+    assert(!p61.contains("Window ["),
+      "epoch rank must not use a window (one-partition scale killer):\n" + p61.take(1200))
+  }
+
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
     val plan = planOf("q02_agg_returnflag")
     assert(plan.contains("partial_sum"), "no map-side partial agg:\n" + plan.take(1200))
