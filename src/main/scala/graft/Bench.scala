@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Per-round benchmark main (driver contract): every SparkEntry query timed
   * on SPARK_GRAFT_SF_DIR at local[32]; one JSON line out. Each query runs
@@ -31,17 +32,22 @@ object Bench {
     // timer — the warm-up removes the dominant shared-infrastructure tax,
     // not every per-plan compile. Disable with SPARK_GRAFT_NO_WARMUP=1 to
     // measure the cold profile deliberately.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    // warm dir defaults to the smallest sibling scale of sfDir (portable —
+    // no absolute machine path baked in); SPARK_GRAFT_WARMUP_SF_DIR overrides
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     val doWarm = !sys.env.contains("SPARK_GRAFT_NO_WARMUP") &&
       new java.io.File(warmDir).isDirectory
+    // NonFatal only: an OOM/JVM error during warm-up must abort the bench,
+    // not degrade into a stderr line before a meaningless timed run
     if (doWarm) SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
+      catch { case NonFatal(e) => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      catch { case NonFatal(e) => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

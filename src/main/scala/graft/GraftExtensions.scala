@@ -134,20 +134,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         val store = new graft.snapshot.SnapshotStore(root)
         val df =
-          if (args.length == 3) args(2) match {
-            // any integral literal: a BIGINT 3L from an API caller or a
-            // smallint/tinyint literal is as valid a version as INT 3
-            case Literal(v: Number, _)
-                if (v.isInstanceOf[java.lang.Byte] || v.isInstanceOf[java.lang.Short] ||
-                  v.isInstanceOf[java.lang.Integer] ||
-                  (v.isInstanceOf[java.lang.Long] &&
-                    v.longValue >= Int.MinValue && v.longValue <= Int.MaxValue)) =>
-              store.readAt(spark, table, v.intValue).getOrElse(
-                throw new IllegalArgumentException(
-                  s"graft_snapshot: no committed version ${v.intValue} holding " +
-                    s"table '$table' under $root (versions: ${store.versions.mkString(",")})"))
-            case other => throw new IllegalArgumentException(
-              s"graft_snapshot version must be an integral literal (within Int range), got $other")
+          if (args.length == 3) {
+            val v = intLit(args(2), "graft_snapshot version")
+            store.readAt(spark, table, v).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_snapshot: no committed version $v holding " +
+                  s"table '$table' under $root (versions: ${store.versions.mkString(",")})"))
           } else store.read(spark, table).getOrElse(
             throw new IllegalArgumentException(
               s"graft_snapshot: no committed snapshot holds table '$table' under $root"))

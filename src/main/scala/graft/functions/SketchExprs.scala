@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -98,6 +98,73 @@ object SketchUtil {
         }
         a
       }
+    sortedDistinct(hs)
+  }
+
+  /**
+   * SORTED-DISTINCT xxhash64 (Spark's seed 42) of all `k`-character
+   * shingles, in one pass — the fast-path twin of
+   * [[portableShingleHashes]]: bit-identical to
+   * `array_sort(array_distinct(transform(shingles, s => xxhash64(s))))`
+   * over `substr` windows (texts shorter than `k` contribute one
+   * whole-text shingle), asserted in DedupOpsSpec. The HOF form allocated
+   * one UTF8String per window; on ASCII input this kernel hashes byte
+   * windows of the backing array IN PLACE (`XXH64.hashUnsafeBytes` over
+   * `bytes[i, i+k)` — exactly what Spark's xxhash64 computes for the
+   * equivalent substring). Non-ASCII falls back to codepoint-correct
+   * `UTF8String.substring` windows.
+   */
+  def xxShingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val nChars = text.numChars()
+    val bytes = text.getBytes
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val hs: Array[Long] =
+      if (nChars < k) Array(XXH64.hashUnsafeBytes(bytes, off, bytes.length, 42L))
+      else if (bytes.length == nChars) { // ASCII: byte windows ARE char windows
+        val n = nChars - k + 1
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = XXH64.hashUnsafeBytes(bytes, off + i, k, 42L); i += 1 }
+        a
+      } else { // multi-byte codepoints: codepoint-correct substring windows
+        val n = nChars - k + 1
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val b = text.substring(i, i + k).getBytes
+          a(i) = XXH64.hashUnsafeBytes(b, off, b.length, 42L)
+          i += 1
+        }
+        a
+      }
+    sortedDistinct(hs)
+  }
+
+  /** sig[i] = min over PRE-HASHED shingles hs of xxhash64(i, seed=hs) —
+    * bit-identical to [[minhashSig]] over the shingle strings, because the
+    * Spark chain is seed 42 -> hashUTF8(s) -> hashInt(i) and a min over a
+    * DISTINCT hash set equals the min over the multiset. Lets the
+    * signature and the exact-verification branch share ONE staged
+    * array<long> instead of re-deriving shingle strings per branch. */
+  def minhashSigFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    val n = hashes.numElements()
+    while (j < n) {
+      val hs = hashes.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i, hs)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private def sortedDistinct(hs: Array[Long]): ArrayData = {
     java.util.Arrays.sort(hs)
     var w = 0
     var i = 0
@@ -173,6 +240,34 @@ case class PortableShingleHashes(child: Expression, k: Int) extends UnaryExpress
   override def prettyName: String = "portable_shingle_hashes"
 }
 
+/** `xx_shingle_hashes(text, k)`: sorted-distinct xxhash64 (seed 42) of all
+  * k-char shingles (see [[SketchUtil.xxShingleHashes]]). */
+case class XxShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    SketchUtil.xxShingleHashes(a.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchUtil.xxShingleHashes($a, $k);")
+  override protected def withNewChildInternal(c: Expression): XxShingleHashes = copy(child = c)
+  override def prettyName: String = "xx_shingle_hashes"
+}
+
+/** `minhash_sig_from_hashes(hashes, n)`: n-slot MinHash signature from
+  * pre-hashed shingles (see [[SketchUtil.minhashSigFromHashes]]). */
+case class MinHashSigFromHashes(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    SketchUtil.minhashSigFromHashes(a.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchUtil.minhashSigFromHashes($a, $numHashes);")
+  override protected def withNewChildInternal(c: Expression): MinHashSigFromHashes = copy(child = c)
+  override def prettyName: String = "minhash_sig_from_hashes"
+}
+
 object SketchExprs {
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
@@ -180,4 +275,8 @@ object SketchExprs {
     Bridge.column(SimHash64FromHashes(Bridge.expression(hashes)))
   def portable_shingle_hashes(text: Column, k: Int): Column =
     Bridge.column(PortableShingleHashes(Bridge.expression(text), k))
+  def xx_shingle_hashes(text: Column, k: Int): Column =
+    Bridge.column(XxShingleHashes(Bridge.expression(text), k))
+  def minhash_sig_from_hashes(hashes: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSigFromHashes(Bridge.expression(hashes), numHashes))
 }

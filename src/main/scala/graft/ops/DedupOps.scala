@@ -119,16 +119,23 @@ object DedupOps {
     // min(struct(id, norm)).id == element_at(sorted ids, 1): same representative
     val reps = grouped.select(col("rep.id").as("id"), col("rep.norm").as("norm"))
 
-    // stage norm -> shingles -> sig as ATTRIBUTES (separate projections):
-    // inlining them into the downstream higher-order lambdas re-evaluates
-    // the expensive parent expression per lambda element (Catalyst keeps the
-    // split because the exprs are non-cheap and multiply referenced)
-    val withShingles = reps.select(col("id"),
-      when(length(col("norm")) < k, array(col("norm")))
-        .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
-          i => col("norm").substr(i + 1, lit(k)))).as("shingles"))
-    val withSig = withShingles
-      .withColumn("sig", graft.functions.SketchExprs.minhash_sig(col("shingles"), numHashes))
+    // ONE-PASS codegen kernel (q57's round-5 lesson applied to the fast
+    // path): the sorted-distinct xxhash64 shingle hashes are computed in a
+    // single kernel call per rep — no per-window UTF8String, no
+    // re-hashing, ASCII windows hashed in place — and feed BOTH branches:
+    // the signature (min over per-slot rehashes of the hash set; a min
+    // over the DISTINCT set equals the min over the multiset, so
+    // signatures and band keys are bit-identical to the old
+    // substr->minhash_sig chain, asserted in DedupOpsSpec) and the
+    // exact-Jaccard verification (the kernel output IS the sorted hash set
+    // the merge-walk intersects — the old separate substr->xxhash64->
+    // distinct->sort lineage is gone). Deliberately NOT localCheckpoint'ed:
+    // this is the production path, and the kernel is cheap enough that two
+    // lineage traversals beat pinning the corpus in block storage.
+    val withH = reps.select(col("id"),
+      graft.functions.SketchExprs.xx_shingle_hashes(col("norm"), k).as("hs"))
+    val withSig = withH
+      .withColumn("sig", graft.functions.SketchExprs.minhash_sig_from_hashes(col("hs"), numHashes))
 
     // band rows carry (band, key, id) ONLY — shipping the shingle arrays
     // through an 8-way explode + self-join would multiply shuffle volume by
@@ -172,8 +179,7 @@ object DedupOps {
     // codegen expression) replaces array_intersect's per-pair hash set; a
     // 64-bit collision changing a Jaccard value is negligible (the sets are
     // per-document, a few hundred entries)
-    val hashedSets = withShingles.select(col("id"),
-      array_sort(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("hs"))
+    val hashedSets = withH // kernel output is already sorted-distinct
     val shA = hashedSets.select(col("id").as("id_a"), col("hs").as("sh_a"))
     val shB = hashedSets.select(col("id").as("id_b"), col("hs").as("sh_b"))
     val inter = graft.functions.ArraySetOps
@@ -294,17 +300,39 @@ object DedupOps {
    * The boundary alignment is the scalability trade: a duplicated span
    * straddling a chunk boundary survives (suffix arrays catch it; they also
    * need a corpus-wide sorted index no shuffle can build incrementally).
-   * Work is ONE shuffle keyed by the chunk text (exact string identity — a
-   * 64-bit hash key would save shuffle bytes at a ~1e-19 false-drop risk;
-   * at 100 TB switch the partition key to xxhash64(chunk) and keep the
-   * string equality check in the window ordering) plus one groupBy(id) to
-   * reassemble. Window groups are bounded by per-chunk duplicate counts.
+   *
+   * First-occurrence-wins is computed as a MAP-SIDE-COMBINABLE aggregate,
+   * not a window: `groupBy(chunk).agg(min(struct(ord, idx)))` joined back
+   * to the chunk stream (a row keeps iff its (ord, idx) IS the min — the
+   * pair is unique per row because `ord` is unique per doc and `idx` within
+   * it). A `row_number() over (partition by chunk ...)` window would put
+   * ALL duplicates of one chunk value into ONE window partition — and hot
+   * boilerplate chunks, the exact payload this operator exists to remove,
+   * repeat 1e7-1e9 times at 100 TB, serializing one task with a full sort
+   * of the hot group (window partitions are not AQE-skew-split). The
+   * aggregate form collapses a hot chunk's duplicates in the PARTIAL
+   * aggregate before its shuffle, and the join back is a sort-merge join
+   * AQE CAN skew-split. (A 64-bit hash join key would save shuffle bytes
+   * at a ~1e-19 false-drop risk; at 100 TB switch the join key to
+   * xxhash64(chunk) and re-check string equality on the joined rows.)
    *
    * Returns (id, text, n_chunks, n_dropped) — text rebuilt from surviving
    * chunks in order, empty when everything was dropped.
    */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-                 chunkTokens: Int = 10, orderCol: String = null): DataFrame = {
+                 chunkTokens: Int = 10, orderCol: String = null): DataFrame =
+    chunkDedupImpl(df, idCol, textCol, chunkTokens, orderCol, windowed = false)
+
+  /** The round-5 window form of [[chunkDedup]]'s first-occurrence rule —
+    * kept ONLY as the semantics reference for DedupOpsSpec's skew-equality
+    * property (identical output by construction; serializes hot chunks). */
+  private[graft] def chunkDedupWindowed(df: DataFrame, idCol: String, textCol: String,
+                                        chunkTokens: Int = 10, orderCol: String = null): DataFrame =
+    chunkDedupImpl(df, idCol, textCol, chunkTokens, orderCol, windowed = true)
+
+  private def chunkDedupImpl(df: DataFrame, idCol: String, textCol: String,
+                             chunkTokens: Int, orderCol: String,
+                             windowed: Boolean): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     val ord = Option(orderCol).getOrElse(idCol)
     val k = chunkTokens
@@ -318,11 +346,19 @@ object DedupOps {
         posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
           i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"), lit(k))))))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
-    // first occurrence wins; `ord` must be unique per doc (the default — the
-    // id — is) so the winner is deterministic
-    val w = Window.partitionBy(col("chunk")).orderBy(col("ord"), col("idx"))
-    val kept = chunks
-      .withColumn("keep", row_number().over(w) === 1)
+    val withKeep =
+      if (windowed) {
+        val w = Window.partitionBy(col("chunk")).orderBy(col("ord"), col("idx"))
+        chunks.withColumn("keep", row_number().over(w) === 1)
+      } else {
+        val firsts = chunks.groupBy(col("chunk"))
+          .agg(min(struct(col("ord"), col("idx"))).as("__first"))
+        chunks.join(firsts, Seq("chunk"))
+          .withColumn("keep",
+            col("ord") === col("__first.ord") && col("idx") === col("__first.idx"))
+          .drop("__first")
+      }
+    val kept = withKeep
       .groupBy(col("id"))
       .agg(
         concat_ws(" ", transform(

@@ -375,8 +375,12 @@ object Multimodal {
               // Non-MJPEG video (H.264/MP4 — no JDK codec) splits to zero
               // frames and lands here as ok=false, never fabricated.
               val frames = JdkCodec.mjpegFrames(r.bytes)
-              val per = frames.map(f => JdkCodec.imageFeatures(f, dim))
-              if (per.isEmpty || per.contains(null)) bad
+              // partial-corruption policy MATCHES sampleFrames: frames the
+              // splitter resynced past but ImageIO rejects are dropped, the
+              // mean is over frames that DECODED, n_frames reports the
+              // decoded count; ok=false only when zero frames decode
+              val per = frames.map(f => JdkCodec.imageFeatures(f, dim)).filter(_ != null)
+              if (per.isEmpty) bad
               else {
                 val mean = Array.tabulate(dim)(i => per.map(_(i)).sum / per.length)
                 MediaFeatures(r.media_id, r.kind, ok = true,

@@ -185,6 +185,12 @@ object PipelineOps {
    */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long,
                    numParts: Int = 0, carryCols: Seq[String] = Nil): DataFrame = {
+    // same reserved-name contract as mixWeighted/packSequences: refuse to
+    // silently overwrite a caller column that collides with the internal
+    // key or the output rank
+    val epReserved = Seq("__ep_key", "epoch_rank").filter(df.columns.contains)
+    require(epReserved.isEmpty,
+      s"epochShuffle: input already has reserved column(s) ${epReserved.mkString(", ")}")
     val keyed = df.withColumn("__ep_key",
       md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
     packSequences(keyed, idCol, "__ep_key", lit(1L), budget = 1,
@@ -210,6 +216,9 @@ object PipelineOps {
     require(splits.nonEmpty, "at least one split required")
     require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
       "split weights must be non-negative with a positive sum")
+    val spReserved = Seq("__split_u", "split").filter(df.columns.contains)
+    require(spReserved.isEmpty,
+      s"assignSplits: input already has reserved column(s) ${spReserved.mkString(", ")}")
     val bounds = splitBounds(splits)
     val u = hashUnit(concat(lit(s"$seed:"), col(idCol).cast("string")))
     // the coin is staged as an attribute: the CASE references it once per

@@ -174,10 +174,15 @@ class CrawlSpec extends SparkSpec {
     // vacuum already ran in-loop: every file under data/ is referenced by a
     // retained manifest (no orphans pinning disk)
     assert(store.vacuum().isEmpty)
-    // and a RESUME from the retained latest still works after retention
+    // and a RESUME from the retained latest reproduces the uninterrupted
+    // 4-round run EXACTLY — falsifiable: if retention expired state the
+    // resume needs (seen set, digest cache, frontier), the fingerprints
+    // diverge, not just "some rounds ran"
     val resumed = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx),
       cfg(4).copy(snapshotKeepLast = Some(2)), Some(store))
-    assert(resumed.rounds.nonEmpty || resumed.totalScheduled >= kept.totalScheduled)
+    val plain4 = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(4))
+    assert(fp(resumed.warcRows).sameElements(fp(plain4.warcRows)),
+      "resume-after-retention diverged from the uninterrupted 4-round run")
   }
 
   test("oversize responses are cut at the cap and flagged WARC-Truncated: length") {

@@ -226,6 +226,52 @@ class DedupOpsSpec extends SparkSpec {
     cmp.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("xx shingle kernel + sig-from-hashes are bit-identical to the HOF chain (incl. non-ASCII)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abc déü東 01"
+    val docs = ((0 until 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(90)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ (999L, "ab")).toDF("id", "norm") // "ab": shorter than k -> whole-text shingle
+    val k = 5
+    val hofShingles = when(length(col("norm")) < k, array(col("norm")))
+      .otherwise(transform(sequence(lit(0), length(col("norm")) - k),
+        i => col("norm").substr(i + 1, lit(k))))
+    val staged = docs.select(col("norm"), hofShingles.as("shingles"))
+    val cmp = staged.select(
+      graft.functions.SketchExprs.xx_shingle_hashes(col("norm"), k).as("krn_hs"),
+      array_sort(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("hof_hs"),
+      graft.functions.SketchExprs.minhash_sig_from_hashes(
+        graft.functions.SketchExprs.xx_shingle_hashes(col("norm"), k), 32).as("krn_sig"),
+      graft.functions.SketchExprs.minhash_sig(col("shingles"), 32).as("hof_sig"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)) // hash set identical
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3)) // signature identical
+    }
+  }
+
+  test("chunkDedup skew: a chunk duplicated 1e5x — aggregate form equals the window form") {
+    import spark.implicits._
+    // the aggregate first-occurrence rule must collapse the hot chunk in
+    // the partial aggregate AND still produce the window form's output
+    // bit-for-bit: 1000 docs x 100 repeats of ONE boilerplate chunk each
+    // (1e5 duplicates of a single chunk value) + a unique per-doc tail
+    val boiler = "all rights reserved"
+    val docs = (0L until 1000L).map { i =>
+      (i, (Seq.fill(100)(boiler) :+ s"unique tail $i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = DedupOps.chunkDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val windowed = DedupOps.chunkDedupWindowed(docs, "doc_id", "text", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fast.size === 1000)
+    (0L until 1000L).foreach(i => assert(fast(i) === windowed(i), s"doc $i"))
+    // sanity: doc 0 keeps one boilerplate chunk, all others drop all 100
+    assert(fast(0L)._1.startsWith(boiler))
+    assert(fast(999L)._3 === 100L)
+  }
+
   test("chunkDedup: repeated chunks removed first-occurrence-wins, text reassembled") {
     import spark.implicits._
     // 4-token chunks; doc 0 carries the boilerplate, doc 1 repeats it

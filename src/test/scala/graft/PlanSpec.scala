@@ -58,11 +58,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q59/q61: new pipeline ops never collapse to a one-partition window") {
-    // chunkDedup's first-occurrence window partitions by the chunk value
+    // chunkDedup's first-occurrence rule is a MAP-SIDE-COMBINABLE aggregate
+    // (partial min(struct(ord, idx)) collapses hot-chunk duplicates BEFORE
+    // the shuffle) + a join back — never a window over the chunk value,
+    // which would serialize all duplicates of a hot boilerplate chunk into
+    // one un-skew-splittable window partition at 100 TB
     val p59 = planOf("q59_chunk_dedup")
-    assert(p59.contains("Window ["), p59.take(600))
-    assert(p59.contains("windowspecdefinition(chunk"),
-      "chunk window must partition by chunk, not be global:\n" + p59.take(1200))
+    assert(p59.contains("partial_min"),
+      "chunk first-occurrence must map-side combine:\n" + p59.take(1200))
+    assert(!p59.contains("windowspecdefinition(chunk"),
+      "chunk dedup regressed to the skew-hazard window form:\n" + p59.take(1200))
     // epochShuffle's rank comes from the two-phase prefix sum: a RANGE
     // repartition must appear and NO Window node at all
     val p61 = planOf("q61_epoch_shuffle")
