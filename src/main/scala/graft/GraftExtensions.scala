@@ -92,19 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => graft.functions.PortableShingleHashes(args.head,
         intLit(args(1), "portable_shingle_hashes k")))
     register(ext, "graft_pii_scrub",
-      "graft_pii_scrub(text) - emails/phones/IPv4 replaced by [EMAIL]/[PHONE]/[IP] " +
-        "in that order (RE2-portable patterns)", 1,
+      "graft_pii_scrub(text) - emails/intl phones/national phones/IPv6/IPv4 " +
+        "replaced by [EMAIL]/[PHONE]/[PHONE]/[IPV6]/[IP] in that order " +
+        "(RE2-portable patterns)", 1,
       args => {
         // resolved catalyst nodes (a Column built here would stay an
         // unresolved function inside the builder); same pattern constants,
-        // same application order as TextOps.piiScrub
+        // same application order as TextOps.piiScrub (single-sourced chain)
         import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
-        def rr(child: Expression, pat: String, rep: String): Expression =
-          RegExpReplace(child, L.create(pat), L.create(rep))
-        rr(rr(rr(args.head,
-          graft.ops.TextOps.EmailPattern, "[EMAIL]"),
-          graft.ops.TextOps.PhonePattern, "[PHONE]"),
-          graft.ops.TextOps.Ipv4Pattern, "[IP]")
+        graft.ops.TextOps.PiiChain.foldLeft(args.head) { case (acc, (pat, rep)) =>
+          RegExpReplace(acc, L.create(pat), L.create(rep))
+        }
       })
     register(ext, "http_payload",
       "http_payload(block) - bytes after the first CRLFCRLF of a binary " +

@@ -691,13 +691,19 @@ object SparkEntry {
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com"),
           lit(" or +1-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" call (555) "), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" via 2001:db8:"), pmod(col("doc_id"), lit(9999)).cast("string"),
+          lit("::"), (pmod(col("doc_id"), lit(99)) + 1).cast("string"),
           lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit("."), (pmod(col("doc_id"), lit(254)) + 1).cast("string")
         ).as("raw"))
-      val (e, p, ip) = graft.ops.TextOps.piiCounts(col("raw"))
+      val Seq(e, p, pn, ip6, ip) = graft.ops.TextOps.piiCounts(col("raw"))
       injected.select(col("doc_id"),
         graft.ops.TextOps.piiScrub(col("raw")).as("clean"),
-        e.cast("long").as("n_email"), p.cast("long").as("n_phone"), ip.cast("long").as("n_ip"))
+        e.cast("long").as("n_email"), p.cast("long").as("n_phone"),
+        pn.cast("long").as("n_phone_nat"), ip6.cast("long").as("n_ipv6"),
+        ip.cast("long").as("n_ip"))
         .orderBy("doc_id")
     }),
 
@@ -1349,31 +1355,34 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q60_pii_scrub" -> {
-      // patterns interpolated from TextOps so Spark and the oracle can never
-      // drift; the injected-PII construction is mirrored verbatim
-      val em = graft.ops.TextOps.EmailPattern
-      val ph = graft.ops.TextOps.PhonePattern
-      val ip = graft.ops.TextOps.Ipv4Pattern
-      s"""WITH inj AS (
+      // patterns interpolated from TextOps' single-sourced PiiChain so
+      // Spark and the oracle can never drift — the staged CTEs s1..s5 are
+      // GENERATED from the same (pattern, placeholder) list piiScrub folds
+      // over, each category counting matches in the previous stage's text
+      // exactly like piiCounts; the injected-PII construction is mirrored
+      // verbatim
+      val chain = graft.ops.TextOps.PiiChain
+      val stages = chain.zipWithIndex.map { case ((pat, rep), i) =>
+        val carries = (1 to i).map(j => s"c$j, ").mkString
+        s"s${i + 1} AS (SELECT doc_id, $carries" +
+          s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS c${i + 1}, " +
+          s"regexp_replace(t, '$pat', '$rep', 'g') AS t FROM s$i)"
+      }.mkString(",\n  ")
+      s"""WITH s0 AS (
          |  SELECT doc_id,
          |         text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.example.com'
          |              || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         |              || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id % 254) + 1) AS raw
+         |              || ' call (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              || ' via 2001:db8:' || (doc_id % 9999)
+         |              || '::' || ((doc_id % 99) + 1)
+         |              || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id % 254) + 1) AS t
          |  FROM documents),
-         |  st AS (
-         |  SELECT doc_id, raw,
-         |         regexp_replace(raw, '$em', '[EMAIL]', 'g') AS no_email
-         |  FROM inj),
-         |  st2 AS (
-         |  SELECT doc_id, raw, no_email,
-         |         regexp_replace(no_email, '$ph', '[PHONE]', 'g') AS no_phone
-         |  FROM st)
-         |SELECT doc_id,
-         |       regexp_replace(no_phone, '$ip', '[IP]', 'g') AS clean,
-         |       CAST(len(regexp_extract_all(raw, '$em')) AS BIGINT) AS n_email,
-         |       CAST(len(regexp_extract_all(no_email, '$ph')) AS BIGINT) AS n_phone,
-         |       CAST(len(regexp_extract_all(no_phone, '$ip')) AS BIGINT) AS n_ip
-         |FROM st2 ORDER BY doc_id""".stripMargin
+         |  $stages
+         |SELECT doc_id, t AS clean,
+         |       c1 AS n_email, c2 AS n_phone, c3 AS n_phone_nat,
+         |       c4 AS n_ipv6, c5 AS n_ip
+         |FROM s${chain.length} ORDER BY doc_id""".stripMargin
     },
 
     "q61_epoch_shuffle" ->

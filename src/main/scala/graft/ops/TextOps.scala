@@ -275,30 +275,63 @@ object TextOps {
     * IDENTICAL pattern with identical matches. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{1,4})?"
+
+  /** National-format phone: `(555) 123-4567` (optional space) or the bare
+    * `555-123-4567` dashed triple. The 3-3-4 digit-group shape is required,
+    * so an already-scrubbed international's residue (`1-555-0004` is 1-3-4)
+    * and ISO dates never match. */
+  val NationalPhonePattern =
+    "\\([0-9]{3}\\) ?[0-9]{3}-[0-9]{4}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** IPv6 literal: full form (exactly 8 hex groups) or `::`-compressed
+    * (mid-address, or leading-`::` loopback/unspecified forms). Both
+    * alternatives are immune to `hh:mm:ss` timestamps — those have neither
+    * seven colons nor a `::`. Trailing-`::` forms (`fe80::`) and
+    * IPv4-mapped tails are out of scope by contract: the former is rare in
+    * prose, the latter's dotted quad is caught by [[Ipv4Pattern]] one step
+    * later. No lookaround — RE2-portable like every pattern here. */
+  val Ipv6Pattern =
+    "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\\b" +
+      "|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}\\b"
+
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The scrub chain, single-sourced: (pattern, placeholder) in APPLICATION
+    * ORDER — the contract both [[piiScrub]] and any oracle interpolate. */
+  val PiiChain: Seq[(String, String)] = Seq(
+    EmailPattern -> "[EMAIL]",
+    PhonePattern -> "[PHONE]",
+    NationalPhonePattern -> "[PHONE]",
+    Ipv6Pattern -> "[IPV6]",
+    Ipv4Pattern -> "[IP]")
 
   /**
    * Scrub PII into typed placeholders: emails -> `[EMAIL]`, then
-   * international phone numbers -> `[PHONE]`, then IPv4 literals -> `[IP]`.
-   * Order matters and is part of the contract: emails are replaced first so
-   * their digit runs can't be mistaken for phones, and IPs last so dotted
-   * quads inside an email's domain are already gone. Pure codegen
-   * `regexp_replace` chain — narrow, no shuffle, the 100 TB-friendly shape.
+   * international phones -> `[PHONE]`, then national-format phones ->
+   * `[PHONE]`, then IPv6 -> `[IPV6]`, then IPv4 -> `[IP]`. Order matters
+   * and is part of the contract: emails are replaced first so their digit
+   * runs can't be mistaken for phones; internationals before nationals so
+   * a `+`-prefixed number is never half-eaten by the national rule; IPv6
+   * before IPv4 so a mapped tail's dotted quad is still whole when the
+   * IPv4 rule runs; IPv4 last so dotted quads inside an email's domain are
+   * already gone. Pure codegen `regexp_replace` chain — narrow, no
+   * shuffle, the 100 TB-friendly shape.
    */
   def piiScrub(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailPattern, "[EMAIL]"),
-        PhonePattern, "[PHONE]"),
-      Ipv4Pattern, "[IP]")
+    PiiChain.foldLeft(text) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
 
   /** Per-category PII hit counts (for the scrub report; same patterns, same
-    * order-of-application semantics as [[piiScrub]]). */
-  def piiCounts(text: Column): (Column, Column, Column) = {
-    val noEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
-    val noPhone = regexp_replace(noEmail, PhonePattern, "[PHONE]")
-    (regexp_count(text, lit(EmailPattern)),
-      regexp_count(noEmail, lit(PhonePattern)),
-      regexp_count(noPhone, lit(Ipv4Pattern)))
+    * order-of-application semantics as [[piiScrub]]): each category counts
+    * matches in the text AFTER all earlier categories were scrubbed.
+    * Returns counts in [[PiiChain]] order: (email, intl phone, national
+    * phone, ipv6, ipv4). */
+  def piiCounts(text: Column): Seq[Column] = {
+    val staged = PiiChain.scanLeft(text) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    PiiChain.zip(staged).map { case ((pat, _), before) =>
+      regexp_count(before, lit(pat))
+    }
   }
 }

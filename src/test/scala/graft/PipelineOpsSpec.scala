@@ -263,14 +263,26 @@ class PipelineOpsSpec extends SparkSpec {
       // email containing a dotted quad in its domain scrubs as ONE email,
       // never leaking an [IP] inside the placeholder
       ("bot@10.0.0.5.example.com pinged", "[EMAIL] pinged"),
+      // national formats: parenthesized and bare dashed 3-3-4
+      ("ring (555) 123-4567 or 555-123-4567 now", "ring [PHONE] or [PHONE] now"),
+      // ORDERING: the international rule must consume a +-prefixed number
+      // whole, before the national rule could eat its 3-3-4 tail
+      ("dial +1-555-123-4567 ok", "dial [PHONE] ok"),
+      // IPv6: compressed, full-length tail, and leading-:: loopback;
+      // hh:mm:ss timestamps must NOT match (neither 7 colons nor a ::)
+      ("node fe80::1 and 2001:db8:85a3::8a2e:370:7334 up", "node [IPV6] and [IPV6] up"),
+      ("::1 localhost and meeting at 12:30:45 today", "[IPV6] localhost and meeting at 12:30:45 today"),
       ("no pii here at all", "no pii here at all"))
       .toDF("raw", "expect")
     val got = rows.select(graft.ops.TextOps.piiScrub(col("raw")).as("clean"), col("expect"))
       .collect()
     got.foreach(r => assert(r.getString(0) === r.getString(1)))
-    val (e, p, ip) = graft.ops.TextOps.piiCounts(col("raw"))
-    val counts = rows.select(e.as("e"), p.as("p"), ip.as("ip")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
-    assert(counts === Seq((1, 0, 0), (0, 1, 0), (0, 0, 2), (1, 0, 0), (0, 0, 0)))
+    val cs = graft.ops.TextOps.piiCounts(col("raw"))
+    val counts = rows.select(cs.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+      .collect().map(r => (0 until 5).map(r.getInt).toList).toSeq
+    assert(counts === Seq(
+      List(1, 0, 0, 0, 0), List(0, 1, 0, 0, 0), List(0, 0, 0, 0, 2),
+      List(1, 0, 0, 0, 0), List(0, 0, 2, 0, 0), List(0, 1, 0, 0, 0),
+      List(0, 0, 0, 2, 0), List(0, 0, 0, 1, 0), List(0, 0, 0, 0, 0)))
   }
 }
