@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hashes of all k-char shingles (cross-engine-reproducible MinHash input)", 2,
       args => graft.functions.PortableShingleHashes(args.head,
         intLit(args(1), "portable_shingle_hashes k")))
+    register(ext, "graft_bpe_encode",
+      "graft_bpe_encode(text) - struct<tokens array<string>, ids array<int>> " +
+        "under the frozen BpeFixture merge table (unknown tokens: id -1)", 1,
+      args => graft.functions.BpeEncode(args.head, graft.functions.BpeFixture.model))
     register(ext, "graft_pii_scrub",
       "graft_pii_scrub(text) - emails/intl phones/national phones/IPv6/IPv4 " +
         "replaced by [EMAIL]/[PHONE]/[PHONE]/[IPV6]/[IP] in that order " +

@@ -722,6 +722,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q63_bpe_encode" -> ((s, dir) => {
+      // REAL merge-table token ids (not the q49 pretokenizer-count proxy):
+      // encode under the frozen BpeFixture model via the codegen
+      // BpeEncode kernel. The struct is staged as an attribute first —
+      // reading tokens/ids off a repeated bpeEncode(...) call would run
+      // the encoder once per field
+      val enc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.BpeOps.bpeEncode(col("text"), graft.functions.BpeFixture.model).as("e"))
+      enc.select(col("doc_id"),
+          size(col("e.tokens")).cast("long").as("n_tokens"),
+          concat_ws("|", col("e.tokens")).as("tok_str"),
+          concat_ws(",", col("e.ids")).as("id_str"))
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1404,6 +1420,11 @@ object SparkEntry {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // one merge per recursive iteration == the greedy batch BPE (proof in
+    // graft.functions.Bpe's doc); ranks/ids are CASE arms generated from
+    // the SAME frozen model object the Spark side encodes with
+    "q63_bpe_encode" -> graft.ops.BpeOps.bpeOracleSql(graft.functions.BpeFixture.model),
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

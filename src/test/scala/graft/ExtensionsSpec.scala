@@ -59,6 +59,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.forall(_.getString(1).endsWith("[EMAIL]")))
   }
 
+  test("graft_bpe_encode is SQL-reachable, identical to the API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq("the merge sort", "windowed streaming").toDF("s")
+      .createOrReplaceTempView("t_bpe")
+    val viaSql = spark.sql(
+      "SELECT graft_bpe_encode(s) AS e FROM t_bpe ORDER BY s").collect()
+    val viaApi = spark.table("t_bpe")
+      .select(graft.ops.BpeOps.bpeEncode(col("s"), graft.functions.BpeFixture.model).as("e"))
+      .orderBy("s").collect()
+    assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
+    // non-vacuous: hot fixture words become single multi-char tokens
+    assert(viaSql.exists(_.toString.contains("merge")))
+  }
+
   test("warc_digest rejects a non-literal algo (plan-time constant, like the reference enum)") {
     val e = intercept[Exception] {
       spark.sql("SELECT warc_digest('x', lower('SHA1'))").collect()

@@ -76,6 +76,26 @@ class PlanSpec extends SparkSpec {
       "epoch rank must not use a window (one-partition scale killer):\n" + p61.take(1200))
   }
 
+  test("q63: bpe_encode runs inside whole-stage codegen on a pruned scan, no extra shuffle") {
+    val plan = planOf("q63_bpe_encode")
+    assert(plan.contains("bpe_encode"), plan.take(900))
+    // narrow map: the ONLY exchange is the output orderBy's range partition
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "encode must not shuffle:\n" + plan.take(1200))
+    // encoder expression did not fall out of codegen: in the AQE final
+    // plan's rendering a whole-stage-codegen'd node is starred "*(n)", so
+    // the Project carrying bpe_encode must be starred
+    assert(plan.linesIterator.exists(l => l.contains("bpe_encode") && l.contains("*(")),
+      "bpe_encode fell out of codegen:\n" + plan.take(1200))
+    // and the struct is staged ONCE: exactly one bpe_encode occurrence
+    // (CollapseProject duplicating it into the 3 field reads would run the
+    // encoder 3x per row)
+    assert(plan.split("bpe_encode").length - 1 == 1,
+      "encoder evaluated more than once:\n" + plan.take(1200))
+    assert(plan.contains("ReadSchema") && !plan.contains("embedding"),
+      "scan not pruned:\n" + plan.take(1200))
+  }
+
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
     val plan = planOf("q02_agg_returnflag")
     assert(plan.contains("partial_sum"), "no map-side partial agg:\n" + plan.take(1200))
