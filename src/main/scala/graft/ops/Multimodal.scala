@@ -30,7 +30,7 @@ object Multimodal {
   /** The one splitmix-style mixer both the video stub and the synthetic
     * fixture derive pseudo-values from (kept single-sourced so they can
     * never silently diverge). */
-  private[ops] def mix64(seed: Long, i: Long): Long = {
+  private[graft] def mix64(seed: Long, i: Long): Long = {
     var h = seed ^ (i * 0x9e3779b97f4a7c15L)
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
     h
@@ -214,6 +214,119 @@ object Multimodal {
       }
       out.toArray
     }
+
+    /**
+     * Container dispatch for video payloads: RIFF/AVI goes through the
+     * chunk walker, anything else is treated as a raw MJPEG stream (the
+     * round-5 path). Every returned element is a byte array ImageIO can
+     * decode directly (BMP-wrapped DIB or a JPEG frame) — compressed
+     * codecs with no JDK decoder (H.264/MP4) still yield zero frames and
+     * surface as `ok = false` downstream, never fabricated.
+     */
+    def videoFrames(bytes: Array[Byte]): Array[Array[Byte]] =
+      if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ')
+        aviFrames(bytes)
+      else mjpegFrames(bytes)
+
+    /**
+     * AVI (RIFF) frame extraction for the two JDK-decodable payload kinds:
+     *  - uncompressed DIB video (`biCompression = 0`, '##db'/'##dc'
+     *    chunks): each frame is wrapped into a standalone BMP by
+     *    prepending a 14-byte BITMAPFILEHEADER to the stream's own `strf`
+     *    BITMAPINFOHEADER(+palette) — ImageIO's BMP reader then handles
+     *    bottom-up rows, padding, and bit depths exactly per spec;
+     *  - MJPEG-in-AVI (`biCompression = 'MJPG'`): '##dc' chunk data is a
+     *    JPEG frame, returned as-is for the proven ImageIO JPEG path.
+     *
+     * The walker follows the RIFF grammar (word-aligned chunks, LIST
+     * recursion into 'hdrl'/'strl' for the FIRST 'vids' stream's format,
+     * then the 'movi' list for that stream's data chunks) and mirrors the
+     * MJPEG splitter's honesty on damage: a chunk whose declared size runs
+     * past the buffer ends the walk, keeping every complete frame before
+     * it; non-video payloads (no 'vids' stream, other compression) yield
+     * zero frames.
+     */
+    def aviFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+      val n = bytes.length
+      def u32(i: Int): Long =
+        ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      def fourcc(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var strf: Array[Byte] = null   // first 'vids' stream's BITMAPINFOHEADER(+palette)
+      var compression = -1L
+      var vidsStream = -1            // its stream index ("00", "01", ... prefix)
+      var streamIdx = 0
+      // walk(limit-bounded chunk run); inStrl carries the pending strh type
+      def walk(from: Int, limit: Int, ctx: String): Unit = {
+        var p = from
+        var vidsHere = false
+        while (p + 8 <= limit) {
+          val id = fourcc(p)
+          val size = u32(p + 4)
+          val dataStart = p + 8
+          val dataEnd = dataStart + size
+          // a LIST is only a container: when truncation cuts inside one
+          // (the common chop point — 'movi' spans the whole tail), walk its
+          // partial extent so complete frames BEFORE the cut survive. Leaf
+          // chunks must be complete — a cut frame is dropped, not padded.
+          if (id == "LIST" && size >= 4 && dataStart + 4 <= limit) {
+            val listType = fourcc(dataStart)
+            if (listType == "hdrl" || listType == "movi" ||
+              (listType == "strl" && vidsStream < 0))
+              walk(dataStart + 4, math.min(dataEnd, limit.toLong).toInt, listType)
+          } else if (dataEnd > limit) return // truncated leaf: keep prior frames
+          else id match {
+            case "strh" if ctx == "strl" && size >= 4 =>
+              if (fourcc(dataStart) == "vids") vidsHere = true
+            case "strf" if ctx == "strl" =>
+              if (vidsHere && strf == null) {
+                strf = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt)
+                compression = if (size >= 20) u32(dataStart + 16) else -1L
+                vidsStream = streamIdx
+              }
+            case _ if ctx == "movi" && id.length == 4 &&
+              id(0).isDigit && id(1).isDigit &&
+              (id.substring(2) == "db" || id.substring(2) == "dc") =>
+              val sn = (id(0) - '0') * 10 + (id(1) - '0')
+              if (sn == vidsStream && size > 0) {
+                val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt)
+                if (compression == 0L && strf != null) out += wrapBmp(strf, data)
+                else if (compression == MJPG) out += data
+              }
+            case _ => () // avih, idx1, JUNK, non-video strl members: skip
+          }
+          p = (dataEnd + (size & 1L)).toInt // chunks are word-aligned
+        }
+        if (ctx == "strl") streamIdx += 1 // stream order defines '##' prefixes
+      }
+      val riffEnd = math.min(n.toLong, 8L + u32(4)).toInt
+      walk(12, riffEnd, "riff")
+      out.toArray
+    }
+
+    private val MJPG = 0x47504A4DL // 'MJPG' little-endian fourcc
+
+    /** Prepend a BITMAPFILEHEADER so ImageIO's BMP reader decodes one DIB
+      * frame: pixel data begins right after the copied strf block. */
+    private def wrapBmp(strf: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val offBits = 14 + strf.length
+      val fileSize = offBits + data.length
+      val out = new Array[Byte](fileSize)
+      out(0) = 'B'; out(1) = 'M'
+      out(2) = (fileSize & 0xff).toByte
+      out(3) = ((fileSize >> 8) & 0xff).toByte
+      out(4) = ((fileSize >> 16) & 0xff).toByte
+      out(5) = ((fileSize >> 24) & 0xff).toByte
+      out(10) = (offBits & 0xff).toByte
+      out(11) = ((offBits >> 8) & 0xff).toByte
+      System.arraycopy(strf, 0, out, 14, strf.length)
+      System.arraycopy(data, 0, out, offBits, data.length)
+      out
+    }
   }
 
   // ------------------------------------------------------- synthetic fixture
@@ -289,6 +402,60 @@ object Multimodal {
       }
       bos.toByteArray
     }
+
+    /** A real uncompressed-DIB AVI (RIFF/hdrl/strl/movi, 24bpp BI_RGB,
+      * bottom-up BGR rows padded to 4 bytes) with deterministic pixels —
+      * exists so tests exercise the REAL RIFF walker + ImageIO BMP path.
+      * Set `audioFirst` to prepend a dummy non-video stream (the stream-
+      * index corner: frames then live in '01db', not '00db'). */
+    def aviBytes(seed: Long, w: Int, h: Int, nFrames: Int,
+                 audioFirst: Boolean = false): Array[Byte] = {
+      def le32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+        val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+        cc(id) ++ le32(data.length) ++ data ++ pad
+      }
+      def list(listType: String, members: Array[Byte]): Array[Byte] =
+        chunk("LIST", cc(listType) ++ members)
+      val rowBytes = (w * 3 + 3) & ~3
+      def dibFrame(f: Int): Array[Byte] = {
+        val d = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = (mix(seed, (f.toLong * h + y) * w + x) & 0xffffff).toInt
+            val o = (h - 1 - y) * rowBytes + x * 3 // bottom-up BGR
+            d(o) = (rgb & 0xff).toByte
+            d(o + 1) = ((rgb >> 8) & 0xff).toByte
+            d(o + 2) = ((rgb >> 16) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        d
+      }
+      // BITMAPINFOHEADER: 40 bytes, BI_RGB
+      val strfVid = le32(40) ++ le32(w) ++ le32(h) ++
+        Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ le32(0) ++
+        le32(rowBytes * h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strhVid = cc("vids") ++ cc("DIB ") ++ Array.fill(48)(0.toByte)
+      val strlVid = list("strl", chunk("strh", strhVid) ++ chunk("strf", strfVid))
+      val strhAud = cc("auds") ++ cc("    ") ++ Array.fill(48)(0.toByte)
+      val strlAud = list("strl", chunk("strh", strhAud) ++
+        chunk("strf", Array.fill(16)(0.toByte)))
+      val avih = Array.fill(56)(0.toByte)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        (if (audioFirst) strlAud ++ strlVid else strlVid))
+      val vidId = if (audioFirst) "01db" else "00db"
+      val movi = list("movi",
+        (0 until nFrames).toArray.flatMap(f => chunk(vidId, dibFrame(f))))
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32(body.length) ++ body
+    }
   }
 
   case class MediaMeta(media_id: String, kind: String, mime: String,
@@ -307,7 +474,11 @@ object Multimodal {
       .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(xxhash64(col("media_id")), lit(3)) + 1).cast("int")))
       .withColumn("mime", when(col("kind") === "image", "image/png")
-        .when(col("kind") === "audio", "audio/wav").otherwise("video/x-motion-jpeg"))
+        .when(col("kind") === "audio", "audio/wav")
+        // half the videos ship as raw MJPEG streams, half inside a real
+        // RIFF/AVI container (uncompressed DIB) — both decode paths stay hot
+        .when(pmod(xxhash64(lit("c"), col("media_id")), lit(2)) === 0, "video/x-msvideo")
+        .otherwise("video/x-motion-jpeg"))
       // image/frame dims small enough that a 500-page fixture renders in ms,
       // large enough that histograms are meaningful
       .withColumn("width",
@@ -331,9 +502,11 @@ object Multimodal {
         val bytes = m.kind match {
           case "image" => SyntheticMedia.pngBytes(m.seed, m.width, m.height)
           case "audio" => SyntheticMedia.wavBytes(m.seed, m.duration_ms)
-          case _ => // 2-fps nominal MJPEG: duration 1000-3500 ms -> 2-7 frames
-            SyntheticMedia.mjpegBytes(m.seed, m.width, m.height,
-              math.max(2, (m.duration_ms * 2 / 1000L).toInt))
+          case _ => // 2-fps nominal: duration 1000-3500 ms -> 2-7 frames
+            val nFrames = math.max(2, (m.duration_ms * 2 / 1000L).toInt)
+            if (m.mime == "video/x-msvideo")
+              SyntheticMedia.aviBytes(m.seed, m.width, m.height, nFrames)
+            else SyntheticMedia.mjpegBytes(m.seed, m.width, m.height, nFrames)
         }
         MediaRow(m.media_id, m.kind, bytes, m.mime, m.width, m.height, m.duration_ms)
       }
@@ -369,12 +542,13 @@ object Multimodal {
               if (f == null) bad
               else MediaFeatures(r.media_id, r.kind, ok = true, 0, 0, f, n_frames = 1)
             case "video" =>
-              // MJPEG: split on real JPEG segment structure, decode every
-              // frame through the proven ImageIO path, report the MEAN
-              // per-frame feature vector + dims from the decoded pixels.
-              // Non-MJPEG video (H.264/MP4 — no JDK codec) splits to zero
-              // frames and lands here as ok=false, never fabricated.
-              val frames = JdkCodec.mjpegFrames(r.bytes)
+              // MJPEG stream or RIFF/AVI container (uncompressed DIB or
+              // MJPEG-in-AVI): split to per-frame images, decode each
+              // through the proven ImageIO path, report the MEAN per-frame
+              // feature vector + dims from the decoded pixels. Compressed
+              // codecs with no JDK decoder (H.264/MP4) split to zero
+              // frames and land here as ok=false, never fabricated.
+              val frames = JdkCodec.videoFrames(r.bytes)
               // partial-corruption policy MATCHES sampleFrames: frames the
               // splitter resynced past but ImageIO rejects are dropped, the
               // mean is over frames that DECODED, n_frames reports the
@@ -404,7 +578,7 @@ object Multimodal {
         col("width"), col("height"), col("duration_ms"))
       .as[MediaRow]
       .flatMap { r =>
-        val frames = JdkCodec.mjpegFrames(r.bytes)
+        val frames = JdkCodec.videoFrames(r.bytes)
         if (frames.isEmpty) Iterator.empty
         else {
           // each DISTINCT frame decodes once, however many sample ticks map

@@ -190,6 +190,70 @@ class MultimodalSpec extends SparkSpec {
       s"expected resync to recover the blue frame, got ${recovered.length}")
   }
 
+  test("avi walker: DIB frames decode LOSSLESSLY to the generator's exact pixels") {
+    val (w, h, n) = (11, 6, 4) // odd width exercises row padding + chunk pad byte
+    val avi = Multimodal.SyntheticMedia.aviBytes(9L, w, h, n)
+    val frames = Multimodal.JdkCodec.videoFrames(avi)
+    assert(frames.length === n)
+    frames.zipWithIndex.foreach { case (bmp, f) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null && img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = (Multimodal.mix64(9L, (f.toLong * h + y) * w + x) & 0xffffff).toInt
+        assert((img.getRGB(x, y) & 0xffffff) === expect,
+          s"frame $f pixel ($x,$y)") // BMP is lossless: exact equality
+      }
+    }
+    // stream-index corner: a leading non-video stream shifts frames to 01db
+    val shifted = Multimodal.SyntheticMedia.aviBytes(9L, w, h, n, audioFirst = true)
+    val sFrames = Multimodal.JdkCodec.videoFrames(shifted)
+    assert(sFrames.length === n)
+    assert(sFrames(0).sameElements(frames(0)), "01db frames must match 00db content")
+    // truncation honesty: cutting mid-frame keeps every complete frame before
+    assert(Multimodal.JdkCodec.videoFrames(avi.dropRight(20)).length === n - 1)
+    // headers-only AVI (no movi reached) and garbage produce zero frames
+    assert(Multimodal.JdkCodec.videoFrames(avi.take(150)).isEmpty)
+    assert(Multimodal.JdkCodec.aviFrames("RIFFxxxxAVI not really".getBytes).isEmpty)
+  }
+
+  test("avi walker: MJPEG-in-AVI frames pass through to the JPEG decoder") {
+    // hand-build the container (independent of aviBytes): MJPG fourcc in
+    // strf.biCompression, each 00dc chunk one ImageIO-encoded JPEG
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, d: Array[Byte]) =
+      cc(id) ++ le32(d.length) ++ d ++ (if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(t: String, m: Array[Byte]) = chunk("LIST", cc(t) ++ m)
+    val jpegs = Multimodal.JdkCodec.mjpegFrames(
+      Multimodal.SyntheticMedia.mjpegBytes(4L, 10, 6, 3))
+    assert(jpegs.length === 3)
+    val strf = le32(40) ++ le32(10) ++ le32(6) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ cc("MJPG") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", Array.fill(56)(0.toByte)) ++
+      list("strl", chunk("strh", cc("vids") ++ cc("MJPG") ++ Array.fill(48)(0.toByte)) ++
+        chunk("strf", strf)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(body.length) ++ body
+    val frames = Multimodal.JdkCodec.videoFrames(avi)
+    assert(frames.length === 3)
+    assert(frames.zip(jpegs).forall { case (a, b) => a.sameElements(b) },
+      "00dc payloads must pass through byte-identical")
+    assert(frames.forall(f => Multimodal.JdkCodec.imageFeatures(f, 8) != null))
+  }
+
+  test("avi end-to-end: extractFeatures/sampleFrames treat AVI like any video") {
+    import spark.implicits._
+    val v = Seq(Multimodal.MediaRow("avi0", "video",
+      Multimodal.SyntheticMedia.aviBytes(3L, 8, 8, 4), "video/x-msvideo", 8, 8, 2000L)).toDF()
+    val f = Multimodal.extractFeatures(spark, v, dim = 8).collect().head
+    assert(f.ok && f.n_frames === 4 && f.width === 8 && f.height === 8)
+    val samples = Multimodal.sampleFrames(spark, v, fps = 2, dim = 8).collect()
+    assert(samples.length === 4) // 2000 ms * 2 fps
+  }
+
   test("video features/frames: real per-frame decode through extractFeatures/sampleFrames") {
     import spark.implicits._
     val v = Seq(Multimodal.MediaRow("v0", "video",
