@@ -738,6 +738,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q64_pack_bpe" -> ((s, dir) => {
+      // REAL-token-budget packing: q63's merge-table ids feed q51's packer,
+      // so sequence budgets count model tokens, not the pretokenizer proxy
+      val enc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.BpeOps.bpeEncode(col("text"), graft.functions.BpeFixture.model).as("e"))
+        .select(col("doc_id"), size(col("e.ids")).cast("long").as("n_tok"))
+      graft.ops.PipelineOps.packSequences(enc, "doc_id", "doc_id",
+        col("n_tok"), budget = 512)
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1425,6 +1437,9 @@ object SparkEntry {
     // graft.functions.Bpe's doc); ranks/ids are CASE arms generated from
     // the SAME frozen model object the Spark side encodes with
     "q63_bpe_encode" -> graft.ops.BpeOps.bpeOracleSql(graft.functions.BpeFixture.model),
+
+    "q64_pack_bpe" ->
+      graft.ops.BpeOps.bpePackOracleSql(graft.functions.BpeFixture.model, budget = 512),
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

@@ -56,21 +56,17 @@ object BpeOps {
     * joined by '|', ids joined by ',' (unknown = -1) — join-safe because
     * token strings never contain '|' or ',' unless the TRAINING alphabet
     * does (enforced here). */
-  def bpeOracleSql(model: BpeModel): String = {
-    require(model.alphabet.forall(t => !t.contains("|") && !t.contains(",")),
-      "oracle join delimiters collide with the model alphabet")
+  /** The shared recursive core: CTEs `pre` -> `bpe` -> `fin`, where `fin`
+    * holds each pretoken's FINAL symbol list (doc_id, pidx, toks). */
+  private def coreCtes(model: BpeModel): String = {
     val sep = "chr(1)"
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val rankCase = "CASE toks[i] || " + sep + " || toks[i+1] " +
       model.merges.zipWithIndex.map { case ((a, b), r) =>
         s"WHEN ${lit(a)} || $sep || ${lit(b)} THEN $r"
       }.mkString(" ") + " ELSE 2147483647 END"
-    val idCase = "CASE t " + model.ids.toSeq.sortBy(_._2).map { case (t, i) =>
-      s"WHEN ${lit(t)} THEN $i"
-    }.mkString(" ") + " ELSE -1 END"
     val pat = TextOps.BpePattern.replace("'", "''")
-    s"""WITH RECURSIVE
-       |pre AS (
+    s"""pre AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
        |           i -> {'pidx': i,
        |                 'toks': list_transform(range(1, len(ws[i])+1), j -> ws[i][j])})) AS s
@@ -89,7 +85,18 @@ object BpeOps {
        |  WHERE mr IS NOT NULL AND mr < 2147483647),
        |fin AS (
        |  SELECT doc_id, pidx, toks FROM bpe
-       |  QUALIFY row_number() OVER (PARTITION BY doc_id, pidx ORDER BY it DESC) = 1),
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id, pidx ORDER BY it DESC) = 1)""".stripMargin
+  }
+
+  def bpeOracleSql(model: BpeModel): String = {
+    require(model.alphabet.forall(t => !t.contains("|") && !t.contains(",")),
+      "oracle join delimiters collide with the model alphabet")
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val idCase = "CASE t " + model.ids.toSeq.sortBy(_._2).map { case (t, i) =>
+      s"WHEN ${lit(t)} THEN $i"
+    }.mkString(" ") + " ELSE -1 END"
+    s"""WITH RECURSIVE
+       |${coreCtes(model)},
        |agg AS (
        |  SELECT doc_id,
        |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
@@ -101,4 +108,25 @@ object BpeOps {
        |       coalesce(tok_str, '') AS tok_str, coalesce(id_str, '') AS id_str
        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for packing on REAL token counts (q64): the recursive core
+    * computes per-doc BPE token totals, then the q51-style running-sum
+    * window reproduces `packSequences`' two-phase prefix sum exactly. */
+  def bpePackOracleSql(model: BpeModel, budget: Int): String =
+    s"""WITH RECURSIVE
+       |${coreCtes(model)},
+       |counts AS (
+       |  SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN
+       |    (SELECT doc_id, sum(len(toks)) AS n FROM fin GROUP BY doc_id) t
+       |    USING (doc_id)),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM counts)
+       |SELECT doc_id, n_tokens, start_offset,
+       |       start_offset // $budget AS seq_id,
+       |       start_offset % $budget AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
 }
