@@ -698,12 +698,12 @@ object SparkEntry {
           lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit("."), (pmod(col("doc_id"), lit(254)) + 1).cast("string")
         ).as("raw"))
-      val Seq(e, p, pn, ip6, ip) = graft.ops.TextOps.piiCounts(col("raw"))
-      injected.select(col("doc_id"),
-        graft.ops.TextOps.piiScrub(col("raw")).as("clean"),
-        e.cast("long").as("n_email"), p.cast("long").as("n_phone"),
-        pn.cast("long").as("n_phone_nat"), ip6.cast("long").as("n_ipv6"),
-        ip.cast("long").as("n_ip"))
+      // staged report form: each chain stage's regex runs ONCE per row
+      // (the composed piiScrub+piiCounts columns re-run earlier replaces
+      // inside every later count — O(chain²) passes, measured 1.9 s here)
+      graft.ops.TextOps.piiReport(injected, "raw")
+        .select(col("doc_id"), col("clean"), col("n_email"), col("n_phone"),
+          col("n_phone_nat"), col("n_ipv6"), col("n_ip"))
         .orderBy("doc_id")
     }),
 

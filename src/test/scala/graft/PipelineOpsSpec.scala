@@ -284,5 +284,27 @@ class PipelineOpsSpec extends SparkSpec {
       List(1, 0, 0, 0, 0), List(0, 1, 0, 0, 0), List(0, 0, 0, 0, 2),
       List(1, 0, 0, 0, 0), List(0, 0, 2, 0, 0), List(0, 1, 0, 0, 0),
       List(0, 0, 0, 2, 0), List(0, 0, 0, 1, 0), List(0, 0, 0, 0, 0)))
+
+    // the staged frame API is value-identical to the composed columns —
+    // and each intermediate stays a real attribute (one regex pass per
+    // stage per row instead of O(chain^2))
+    val report = graft.ops.TextOps.piiReport(rows.select(col("raw")), "raw")
+    val viaReport = report
+      .select(col("clean"), col("n_email"), col("n_phone"), col("n_phone_nat"),
+        col("n_ipv6"), col("n_ip")).collect().map(_.toSeq).toSeq
+    val viaComposed = rows.select(
+      (graft.ops.TextOps.piiScrub(col("raw")).as("clean") +:
+        cs.map(_.cast("long"))): _*).collect().map(_.toSeq).toSeq
+    assert(viaReport === viaComposed)
+    // staged attributes survive optimization: no regexp_replace is nested
+    // under a regexp_count in the optimized plan
+    val opt = report.queryExecution.optimizedPlan.toString
+    assert(!opt.matches("(?s).*regexp_count\\([^)]*regexp_replace.*"),
+      "piiReport regressed to nested (quadratic) regex stages:\n" + opt.take(1500))
+    // reserved-name guard matches the other pipeline ops
+    val clash = intercept[IllegalArgumentException] {
+      graft.ops.TextOps.piiReport(rows.select(col("raw"), lit(1).as("clean")), "raw")
+    }
+    assert(clash.getMessage.contains("clean"))
   }
 }
