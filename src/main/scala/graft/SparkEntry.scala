@@ -750,6 +750,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q65_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style bigram-LM quality score, trained on the corpus itself.
+      // The synthetic vocabulary is tiny (31 words, min count 26 even at
+      // sf0.01), so the <unk> path would be VACUOUS on the raw table — the
+      // q57/q60 lesson applied in advance: a deterministic md5 coin injects
+      // one rare word into 1/4 of the docs (class 0: document-INITIAL, so
+      // <unk> is a bigram CONTEXT; class 1: document-FINAL, so <unk> is a
+      // bigram TARGET), and injected docs verifiably score worse
+      val m = md5(col("doc_id").cast("string"))
+      val coin = conv(substring(m, 1, 8), 16, 10).cast("long") % 8
+      val noisy = t(s, dir, "documents").withColumn("text",
+        when(coin === 0, concat(lit("q"), substring(m, 1, 4), lit(" "), col("text")))
+          .when(coin === 1, concat(col("text"), lit(" q"), substring(m, 1, 4)))
+          .otherwise(col("text")))
+      TextOps.ngramLmPerplexity(noisy, "doc_id", "text", minCount = 5)
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1440,6 +1458,41 @@ object SparkEntry {
 
     "q64_pack_bpe" ->
       graft.ops.BpeOps.bpePackOracleSql(graft.functions.BpeFixture.model, budget = 512),
+
+    // mirrors TextOps.ngramLmPerplexity step for step; per-pair ln p is
+    // quantized to micro-nat LONGs before the per-doc sum so both engines
+    // sum identical integers in any order (double sums are order-sensitive)
+    "q65_lm_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) = 0
+        |              THEN 'q' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) || ' ' || text
+        |              WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) = 1
+        |              THEN text || ' q' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t FROM base),
+        |str AS (SELECT unnest(t) AS w FROM toks),
+        |uni AS (SELECT w, count(*) AS cnt FROM str GROUP BY w),
+        |nv AS (SELECT count(*) AS v FROM uni WHERE cnt >= 5),
+        |umap AS (SELECT w, CASE WHEN cnt >= 5 THEN w ELSE '<unk>' END AS u FROM uni),
+        |ctx AS (SELECT u, sum(cnt) AS c1 FROM umap JOIN uni USING (w) GROUP BY u),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |mapped AS (
+        |  SELECT p.doc_id, m1.u AS u1, m2.u AS u2
+        |  FROM pairs p JOIN umap m1 ON p.w1 = m1.w JOIN umap m2 ON p.w2 = m2.w),
+        |model AS (SELECT u1, u2, count(*) AS c2 FROM mapped GROUP BY u1, u2),
+        |scored AS (
+        |  SELECT mp.doc_id,
+        |         CAST(round((ln(model.c2 + 1) - ln(ctx.c1 + nv.v + 1)) * 1000000) AS BIGINT) AS q
+        |  FROM mapped mp JOIN model ON mp.u1 = model.u1 AND mp.u2 = model.u2
+        |                 JOIN ctx ON mp.u1 = ctx.u CROSS JOIN nv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(sum(q) / 1000000.0 / count(*), 3) AS avg_logp,
+        |       round(exp(-(sum(q) / 1000000.0) / count(*)), 2) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

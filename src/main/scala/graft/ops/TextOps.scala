@@ -372,4 +372,94 @@ object TextOps {
       }.toMap)
       .drop((1 to PiiChain.length).map(i => s"__pii_c$i"): _*)
   }
+
+  /**
+   * CCNet-style n-gram language-model quality scoring (Wenzek et al. 2020
+   * semantics, re-expressed relationally): train an add-one-smoothed bigram
+   * LM on a corpus, score every document by mean log-probability and
+   * perplexity. Low perplexity = fluent text; the standard LM filter a
+   * 100 TB pipeline runs after dedup (CCNet buckets by perplexity terciles —
+   * apply [[graft.ops.PipelineOps.assignSplits]]-style thresholds on `ppl`).
+   *
+   * Model (all counts over whitespace tokens of `lower(text)`):
+   *  - vocab  = words with corpus count >= `minCount`; everything else maps
+   *    to `<unk>`. V = |vocab| + 1.
+   *  - p(u2|u1) = (c(u1,u2) + 1) / (c(u1) + V)   (add-one smoothing; c(u1)
+   *    is u1's total occurrence count).
+   *  - per doc: n_bigrams, avg_logp = mean ln p over its adjacent pairs
+   *    (rounded to 3), ppl = exp(-avg) (rounded to 2). Docs with < 2 tokens
+   *    have no bigrams and are absent from the output.
+   *
+   * Cross-engine exactness: each pair's ln p is quantized to a LONG of
+   * micro-nats (round(x*1e6)) before the per-doc sum — integer sums are
+   * partial-aggregable AND independent of row order/partitioning, so Spark
+   * and the DuckDB oracle agree bit-for-bit (double sums would not: shuffle
+   * order changes the fp rounding path).
+   *
+   * Scale shape: two corpus-wide aggregations (unigram counts, bigram
+   * counts), both map-side combinable; the unigram table is VOCAB-bounded
+   * (not corpus-bounded), so its eager localCheckpoint pins only O(V) rows;
+   * the score join shuffles the pair stream once on (u1,u2) — hot pairs
+   * ("the the") are JOIN keys, which AQE skew-splits, never window
+   * partitions. V rides as a literal (one 1-row driver scalar, like the
+   * prefix-sum totals in PipelineOps). No windows, no driver funnels.
+   *
+   * `train`: optional separate training corpus (same `idCol`/`textCol`
+   * schema); defaults to scoring the training corpus itself. When scoring a
+   * foreign corpus, unseen words map to `<unk>` and pairs absent from the
+   * model back off to c2=0 (and c1=0 if the context never occurred) —
+   * p = 1/(c1+V), the natural add-one extension.
+   */
+  def ngramLmPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, minCount: Int = 5,
+                        train: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val clash = df.columns.filter(_.startsWith("__lm_"))
+    require(clash.isEmpty,
+      s"ngramLmPerplexity: input has reserved __lm_* column(s) ${clash.mkString(", ")}")
+    val unk = lit("<unk>")
+
+    def toToks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col(idCol).as("__lm_id"), tokens(lower(col(textCol))).as("__lm_toks"))
+    // adjacent-pair stream straight off the token ARRAY — one generator, no
+    // per-doc window, no positional self-join
+    def toPairs(t: org.apache.spark.sql.DataFrame) = t.select(col("__lm_id"),
+        explode(arrays_zip(
+          slice(col("__lm_toks"), lit(1), greatest(size(col("__lm_toks")) - 1, lit(0))).as("w1"),
+          slice(col("__lm_toks"), lit(2), greatest(size(col("__lm_toks")) - 1, lit(0))).as("w2"))).as("__lm_p"))
+      .select(col("__lm_id"), col("__lm_p.w1").as("__lm_w1"), col("__lm_p.w2").as("__lm_w2"))
+    def unkMap(p: org.apache.spark.sql.DataFrame,
+               umap: org.apache.spark.sql.DataFrame) = p
+      .join(umap.select(col("__lm_w").as("__lm_w1"), col("__lm_u").as("u1")), Seq("__lm_w1"), "left")
+      .join(umap.select(col("__lm_w").as("__lm_w2"), col("__lm_u").as("u2")), Seq("__lm_w2"), "left")
+      .select(col("__lm_id"), coalesce(col("u1"), unk).as("u1"), coalesce(col("u2"), unk).as("u2"))
+
+    val trainToks = toToks(train.getOrElse(df))
+    val uni = trainToks.select(explode(col("__lm_toks")).as("__lm_w"))
+      .groupBy("__lm_w").agg(count(lit(1)).as("__lm_cnt"))
+      .localCheckpoint(true) // vocab-bounded, feeds V + umap + ctx: one compute
+    val vLit = lit(uni.filter(col("__lm_cnt") >= minCount).count() + 1) // V, driver scalar
+    val umap = uni.select(col("__lm_w"),
+      when(col("__lm_cnt") >= minCount, col("__lm_w")).otherwise(unk).as("__lm_u"),
+      col("__lm_cnt"))
+    val ctx = umap.groupBy(col("__lm_u").as("u1")).agg(sum("__lm_cnt").as("c1"))
+
+    val trainMapped = unkMap(toPairs(trainToks), umap)
+    // context counts ride ON the model (vocab²-bounded side), so the
+    // corpus-sized pair stream shuffles exactly once, on (u1,u2)
+    val model = trainMapped.groupBy("u1", "u2").agg(count(lit(1)).as("c2"))
+      .join(ctx, Seq("u1"), "left")
+    val scoreMapped = train.map(_ => unkMap(toPairs(toToks(df)), umap)).getOrElse(trainMapped)
+
+    val lnp = log(coalesce(col("c2"), lit(0L)) + 1) -
+      log(coalesce(col("c1"), lit(0L)) + vLit)
+    scoreMapped.join(model, Seq("u1", "u2"), "left")
+      .select(col("__lm_id"), round(lnp * 1e6, 0).cast("long").as("__lm_q"))
+      .groupBy("__lm_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lm_q").as("__lm_sum"))
+      .select(col("__lm_id").as(idCol), col("n_bigrams"),
+        round(col("__lm_sum") / 1e6 / col("n_bigrams"), 3).as("avg_logp"),
+        round(exp(-(col("__lm_sum") / 1e6) / col("n_bigrams")), 2).as("ppl"))
+  }
 }

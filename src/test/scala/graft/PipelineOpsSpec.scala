@@ -307,4 +307,76 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(clash.getMessage.contains("clean"))
   }
+
+  test("ngramLmPerplexity: hand-computed bigram LM goldens incl. <unk> target") {
+    import spark.implicits._
+    // tokens: a:3 b:3 c:1 x:1; minCount=2 -> vocab {a,b}, V=3
+    // ctx: a:3 b:3 <unk>:2; model: (a,b):3 (b,a):1 (b,<unk>):1
+    // p(a,b)=4/6, p(b,a)=2/6, p(b,<unk>)=2/6; quantized micro-nat sums by hand
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.ngramLmPerplexity(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    // doc 3 has one token -> no bigrams -> absent
+    assert(r.toSeq === Seq((1L, 3L, -0.637, 1.89), (2L, 2L, -0.752, 2.12)))
+  }
+
+  test("ngramLmPerplexity: <unk> as bigram CONTEXT scores through its ctx count") {
+    import spark.implicits._
+    // z is OOV and document-initial: the pair is (<unk>, a) — exercises the
+    // u1 side of the mapping (q65 injects both shapes via the md5 coin)
+    val docs = Seq((1L, "z a"), (2L, "a a a")).toDF("doc_id", "text")
+    // tokens a:4 z:1 -> vocab {a}, V=2; ctx a:4 <unk>:1
+    // model: (<unk>,a):1, (a,a):2; p(a|<unk>)=(1+1)/(1+2)=2/3
+    val r = graft.ops.TextOps.ngramLmPerplexity(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getLong(1) === 1L)
+    assert(d1.getDouble(2) === BigDecimal(math.log(2.0 / 3.0))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ngramLmPerplexity: result is independent of input partitioning") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i =>
+      (i.toLong, if (i % 7 == 0) s"odd$i the cat sat" else "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.ngramLmPerplexity(d, "doc_id", "text", minCount = 3)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // quantized-long per-pair scores make the per-doc sum order-free: any
+    // partitioning (hence any shuffle arrival order) yields identical bits
+    assert(run(docs.repartition(1)) === run(docs.repartition(7, col("text"))))
+  }
+
+  test("ngramLmPerplexity: OOV-injected docs score WORSE (non-vacuous direction)") {
+    import spark.implicits._
+    val docs = (0 until 80).map(i => (i.toLong,
+      if (i % 4 == 0) s"the cat sat on the mat zq$i" // one rare word, never adjacent to another
+      else "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.ngramLmPerplexity(docs, "doc_id", "text", minCount = 5)
+      .withColumn("injected", col("doc_id") % 4 === 0)
+      .groupBy("injected").agg(avg("ppl").as("p")).collect()
+      .map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+    assert(r(true) > r(false),
+      s"injected docs must have higher perplexity: ${r(true)} vs ${r(false)}")
+  }
+
+  test("ngramLmPerplexity: foreign-corpus scoring backs off unseen pairs to 1/V") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b a")).toDF("doc_id", "text") // vocab {a,b}, V=3
+    val score = Seq((9L, "a q b")).toDF("doc_id", "text")     // q unseen anywhere
+    val r = graft.ops.TextOps.ngramLmPerplexity(score, "doc_id", "text",
+      minCount = 2, train = Some(train)).collect()(0)
+    // both pairs (a,<unk>) and (<unk>,b) are absent from the model: p = 1/3
+    assert(r.getLong(1) === 2L && r.getDouble(2) === -1.099 && r.getDouble(3) === 3.0)
+  }
+
+  test("ngramLmPerplexity: reserved-column guard") {
+    import spark.implicits._
+    val bad = Seq((1L, "a b", "x")).toDF("doc_id", "text", "__lm_id")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextOps.ngramLmPerplexity(bad, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("__lm_id"))
+  }
 }
