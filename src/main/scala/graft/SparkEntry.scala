@@ -768,6 +768,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q66_boilerplate_lines" -> ((s, dir) => {
+      // cross-corpus boilerplate-line REMOVAL. The synthetic docs are
+      // single-line, so boilerplate is injected deterministically: an md5
+      // coin appends/prepends shared banner lines to 3/8 of the docs (two
+      // classes share one line — crossing the threshold together — and one
+      // class carries a two-line banner), and the ORIGINAL text line of
+      // every doc survives, order preserved
+      val m = md5(col("doc_id").cast("string"))
+      val coin = conv(substring(m, 1, 8), 16, 10).cast("long") % 8
+      val noisy = t(s, dir, "documents").withColumn("text",
+        when(coin === 0, concat(col("text"), lit("\nsubscribe to our newsletter today")))
+          .when(coin === 1, concat(col("text"),
+            lit("\nsubscribe to our newsletter today\nall rights reserved worldwide")))
+          .when(coin === 2, concat(lit("this site uses cookies\n"), col("text")))
+          .otherwise(col("text")))
+      TextOps.dropBoilerplateLines(noisy, "doc_id", "text", minDocs = 50)
+        .orderBy("doc_id")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1493,6 +1512,31 @@ object SparkEntry {
         |       round(sum(q) / 1000000.0 / count(*), 3) AS avg_logp,
         |       round(exp(-(sum(q) / 1000000.0) / count(*)), 2) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextOps.dropBoilerplateLines: docLines split (\r?\n, blank
+    // lines discarded), distinct-doc threshold, order-preserving rebuild
+    "q66_boilerplate_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) = 0
+        |              THEN text || chr(10) || 'subscribe to our newsletter today'
+        |              WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) = 1
+        |              THEN text || chr(10) || 'subscribe to our newsletter today' || chr(10) || 'all rights reserved worldwide'
+        |              WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) = 2
+        |              THEN 'this site uses cookies' || chr(10) || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\r?\n'), x -> len(trim(x)) > 0) AS ls FROM base),
+        |lines AS (SELECT doc_id, ls[i] AS line, i
+        |          FROM l0, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
+        |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY line) WHERE d >= 50),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+        |reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY i) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT l0.doc_id, coalesce(reb.clean, '') AS clean,
+        |       coalesce(reb.n_kept, 0) AS n_kept,
+        |       len(l0.ls) - coalesce(reb.n_kept, 0) AS n_dropped
+        |FROM l0 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

@@ -374,6 +374,55 @@ object TextOps {
   }
 
   /**
+   * Cross-corpus boilerplate-line removal (the RefinedWeb/CCNet line-dedup
+   * TRANSFORM, not just the signal): any line appearing in >= `minDocs`
+   * distinct documents — cookie banners, nav bars, license footers — is
+   * dropped from EVERY document; surviving lines are reassembled in their
+   * original order. Output: (id, clean, n_kept, n_dropped), one row per
+   * input row (a doc losing all its lines keeps its row with clean = "").
+   * Lines follow [[docLines]] semantics: split on `\r?\n`, whitespace-only
+   * lines discarded (reassembly joins with `\n`, normalizing CRLF away).
+   *
+   * Scale shape — the skew hazard here is the operator's own target (one
+   * banner line in 10^9 docs), handled the chunkDedup way:
+   *  - distinct-doc counting is TWO explicit aggregations: (line, id)
+   *    distinct first (exchange keyed on BOTH columns — uniform even for a
+   *    hot line), then a map-side-combinable count per line. A direct
+   *    `countDistinct(id)` would funnel every (line,id) pair of a hot line
+   *    through one reducer.
+   *  - the boilerplate set is tiny (lines crossing the threshold), so the
+   *    drop is a broadcast anti-join; the rebuild groups by doc id
+   *    (bounded groups) and the final row-preserving join reuses the
+   *    rebuild's partitioning. No windows, no driver funnels.
+   */
+  def dropBoilerplateLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, minDocs: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would drop every line)")
+    val clash = df.columns.filter(_.startsWith("__bl_"))
+    require(clash.isEmpty,
+      s"dropBoilerplateLines: input has reserved __bl_* column(s) ${clash.mkString(", ")}")
+    val staged = df.select(col(idCol).as("__bl_id"),
+      docLines(col(textCol)).as("__bl_ls"))
+    val lines = staged.select(col("__bl_id"),
+      posexplode(col("__bl_ls")).as(Seq("__bl_pos", "__bl_line")))
+    val hot = lines.select("__bl_line", "__bl_id").distinct()
+      .groupBy("__bl_line").agg(count(lit(1)).as("__bl_docs"))
+      .filter(col("__bl_docs") >= minDocs).select("__bl_line")
+    val rebuilt = lines.join(broadcast(hot), Seq("__bl_line"), "left_anti")
+      .groupBy("__bl_id").agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__bl_pos"), col("__bl_line")))),
+          x => x("__bl_line"))).as("clean"))
+    staged.select(col("__bl_id"), size(col("__bl_ls")).cast("long").as("__bl_n"))
+      .join(rebuilt, Seq("__bl_id"), "left")
+      .select(col("__bl_id").as(idCol),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__bl_n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /**
    * CCNet-style n-gram language-model quality scoring (Wenzek et al. 2020
    * semantics, re-expressed relationally): train an add-one-smoothed bigram
    * LM on a corpus, score every document by mean log-probability and

@@ -308,6 +308,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clash.getMessage.contains("clean"))
   }
 
+  test("dropBoilerplateLines: threshold drop, order preserved, empty-doc row kept") {
+    import spark.implicits._
+    val banner = "subscribe now"
+    val docs = Seq(
+      (1L, s"alpha\r\n$banner\nbeta"),     // CRLF split + banner sandwiched
+      (2L, s"$banner\ngamma"),
+      (3L, s"delta\n   \n$banner"),        // whitespace-only line discarded
+      (4L, banner),                        // loses ALL lines -> row kept, clean=""
+      (5L, "rare line\nrare line"))        // dup WITHIN one doc: 1 distinct doc, kept
+    val r = graft.ops.TextOps.dropBoilerplateLines(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq(
+      (1L, "alpha\nbeta", 2L, 1L),
+      (2L, "gamma", 1L, 1L),
+      (3L, "delta", 1L, 1L),
+      (4L, "", 0L, 1L),
+      (5L, "rare line\nrare line", 2L, 0L)))
+
+    // boundary: a line in exactly minDocs-1 distinct docs survives everywhere
+    val under = Seq((1L, "x\ny"), (2L, "x\nz"), (3L, "w")).toDF("doc_id", "text")
+    val kept = graft.ops.TextOps.dropBoilerplateLines(under, "doc_id", "text", minDocs = 3)
+      .agg(sum("n_dropped")).head().getLong(0)
+    assert(kept === 0L)
+
+    val guard = intercept[IllegalArgumentException] {
+      graft.ops.TextOps.dropBoilerplateLines(
+        docs.toDF("doc_id", "__bl_id"), "doc_id", "__bl_id", minDocs = 2)
+    }
+    assert(guard.getMessage.contains("__bl_id"))
+
+    // scale shape: no Window, and the hot-line drop is the explicit
+    // broadcast anti-join (hot boilerplate must never key a window or a
+    // shuffled join probe side)
+    val plan = graft.ops.TextOps.dropBoilerplateLines(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minDocs = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1000))
+    assert(plan.contains("LeftAnti"), plan.take(1000))
+  }
+
   test("ngramLmPerplexity: hand-computed bigram LM goldens incl. <unk> target") {
     import spark.implicits._
     // tokens: a:3 b:3 c:1 x:1; minCount=2 -> vocab {a,b}, V=3
