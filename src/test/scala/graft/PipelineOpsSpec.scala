@@ -308,6 +308,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clash.getMessage.contains("clean"))
   }
 
+  test("langIdReport: value-identical to the column API, single staged tokenize") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox and the lazy dog of it",   // en
+      "der hund und die katze ist das nicht",         // de
+      "le chat et le chien est une de la",            // fr
+      "el perro y la gata es un de no",               // es
+      "一二三四五六七八九十", // zh by cjk ratio
+      "zzz qqq xxx",                                  // unknown
+      "").toDF("text")
+    val viaColumn = docs.select(graft.ops.TextOps.langId(col("text"))).collect().map(_.getString(0))
+    val viaReport = graft.ops.TextOps.langIdReport(docs, "text")
+      .select("lang").collect().map(_.getString(0))
+    assert(viaReport.toSeq === viaColumn.toSeq)
+    assert(viaColumn.toSeq === Seq("en", "de", "fr", "es", "zh", "unknown", "unknown"))
+    // staging survives optimization: exactly ONE tokenize (split) runs per
+    // row (repartition blocks ConvertToLocalRelation from pre-evaluating)
+    val opt = graft.ops.TextOps.langIdReport(docs.repartition(2), "text")
+      .select("lang").queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(opt).size === 1,
+      "tokenize must be staged once, found:\n" + opt.take(1500))
+    val guard = intercept[IllegalArgumentException] {
+      graft.ops.TextOps.langIdReport(docs.withColumn("lang", lit("x")), "text")
+    }
+    assert(guard.getMessage.contains("lang"))
+  }
+
   test("dropBoilerplateLines: threshold drop, order preserved, empty-doc row kept") {
     import spark.implicits._
     val banner = "subscribe now"
