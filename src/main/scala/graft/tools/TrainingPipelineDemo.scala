@@ -32,9 +32,12 @@ object TrainingPipelineDemo {
     // (warc_rows carry digests/lengths; bodies join back from the fetched
     // page table, as the capture path streamed them)
     val warcDir = java.nio.file.Files.createTempDirectory("pipeline-warc").toString
+    // every rendered page carries the same nav banner line (the reality
+    // boilerplate removal exists for), then one line per text span
     val pageText = SyntheticWeb.pages(spark, n).select(col("url").as("target_uri"),
-      concat_ws(" ", transform(filter(col("spans"), s => s.getField("kind") === "text"),
-        s => s.getField("text"))).as("content"))
+      concat(lit("site nav menu home about contact\n"),
+        concat_ws("\n", transform(filter(col("spans"), s => s.getField("kind") === "text"),
+          s => s.getField("text")))).as("content"))
     val responses = crawl.warcRows.filter(col("warc_type") === "response")
       .join(pageText, Seq("target_uri"))
     graft.sources.WarcSink.toRecordColumns(responses, "content", keepDigests = false)
@@ -59,10 +62,23 @@ object TrainingPipelineDemo {
     val keep = graft.ops.DedupOps.keepClusterRepresentatives(uniq, pairs, "doc_id")
     println(s"dedup: ${docs.count()} -> ${uniq.count()} exact-unique -> ${keep.count()} after near-dup clusters")
 
-    // 5) language + quality gate, then the training table
+    // 4b) boilerplate-line removal: lines shared across >= 25 docs drop
+    // from every doc (the synthetic pages share templated nav text)
+    val debp = graft.ops.TextOps.dropBoilerplateLines(keep, "doc_id", "text", minDocs = 25)
+      .withColumnRenamed("clean", "bp_clean")
+    val deboiled = keep.drop("text").join(debp.filter(col("n_kept") > 0), Seq("doc_id"))
+      .withColumnRenamed("bp_clean", "text").drop("n_kept", "n_dropped")
+    println(s"boilerplate: ${keep.count()} -> ${deboiled.count()} docs with kept lines " +
+      s"(${debp.agg(sum("n_dropped")).head().getLong(0)} lines dropped)")
+
+    // 5) language + LM-perplexity + quality gate, then the training table
     val outDir = java.nio.file.Files.createTempDirectory("pipeline-out").toString
-    val train = keep
-      .withColumn("lang", graft.ops.TextOps.langId(col("text")))
+    val ppl = graft.ops.TextOps.ngramLmPerplexity(deboiled, "doc_id", "text", minCount = 5)
+      .select(col("doc_id"), col("ppl"))
+    val pplCut = ppl.agg(expr("percentile_approx(ppl, 0.9)")).head().getDouble(0)
+    val train = graft.ops.TextOps.langIdReport(deboiled, "text")
+      .join(ppl, Seq("doc_id")) // CCNet-style: drop the worst-perplexity tail
+      .filter(col("ppl") <= pplCut)
       .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
       .withColumn("n_tokens", graft.ops.TextOps.tokenCount(col("text")))
       .filter(col("quality") >= 0.5) // synthetic words max out at 0.75 (no stopwords)
