@@ -76,6 +76,36 @@ class PlanSpec extends SparkSpec {
       "epoch rank must not use a window (one-partition scale killer):\n" + p61.take(1200))
   }
 
+  test("q65/q66: LM scoring and boilerplate removal keep the scale-safe shapes") {
+    // ngramLmPerplexity: NO window anywhere; the vocab-bounded <unk> mapping
+    // joins broadcast (a corpus-wide shuffle per language-model lookup would
+    // dominate the operator); unigram/bigram counting partial-aggregates
+    val p65 = planOf("q65_lm_perplexity")
+    assert(!p65.contains("Window ["),
+      "LM scoring must not use windows:\n" + p65.take(1200))
+    assert(p65.contains("BroadcastHashJoin"),
+      "the vocab umap/ctx joins must broadcast:\n" + p65.take(1200))
+    assert(p65.contains("partial_count"),
+      "model counts must map-side combine:\n" + p65.take(1200))
+    // dropBoilerplateLines: hot-line counting is the two-stage aggregate
+    // (never count_distinct funneling a hot line's doc set through one
+    // reducer) and the drop is a broadcast ANTI-join
+    val p66 = planOf("q66_boilerplate_lines")
+    assert(!p66.contains("Window ["), p66.take(1200))
+    assert(p66.contains("LeftAnti") && p66.contains("BroadcastHashJoin"),
+      "boilerplate drop must be a broadcast anti-join:\n" + p66.take(1200))
+    assert(!p66.contains("count(distinct"),
+      "distinct-doc counting regressed to the skewable direct form:\n" + p66.take(1200))
+  }
+
+  test("q32: language-ID tokenizes once (staged attributes, no HOF recompute)") {
+    val p = planOf("q32_langid")
+    // one split() per row feeding four filter() scores; the old column-form
+    // plan carried 4 independent split()s plus 2^k when-fold copies
+    assert(p.split("split\\(").length - 1 == 1,
+      "language-ID must stage ONE tokenize:\n" + p.take(1500))
+  }
+
   test("q63: bpe_encode runs inside whole-stage codegen on a pruned scan, no extra shuffle") {
     val plan = planOf("q63_bpe_encode")
     assert(plan.contains("bpe_encode"), plan.take(900))
