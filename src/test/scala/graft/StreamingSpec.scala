@@ -185,4 +185,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Set((200, 2L, 150L), (404, 1L, 7L)))
     } finally q.stop()
   }
+
+  test("streaming LM scoring: a doc stream scores against a statically-trained model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the quality-filter deployment shape: train the bigram LM ONCE on a
+    // static reference corpus, then score arriving documents continuously —
+    // the score path is stream-static joins (broadcast umap + model) plus a
+    // per-doc aggregation, all supported streaming constructs
+    val trainCorpus = Seq((100L, "a b a b a"), (101L, "b a b a")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.ops.TextOps.ngramLmPerplexity(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minCount = 2, train = Some(trainCorpus))
+    val q = scored.writeStream.format("memory").queryName("lm_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L, "a b a"), (2L, "a q b"))
+      q.processAllAvailable()
+      input.addData((3L, "b a"))
+      q.processAllAvailable()
+      val got = spark.table("lm_out")
+        .select("doc_id", "n_bigrams", "avg_logp", "ppl")
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      // batch scoring of the same docs against the same model is the oracle
+      val batch = graft.ops.TextOps.ngramLmPerplexity(
+        Seq((1L, "a b a"), (2L, "a q b"), (3L, "b a")).toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 2, train = Some(trainCorpus))
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(got === batch)
+      assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
