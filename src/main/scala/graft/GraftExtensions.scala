@@ -108,6 +108,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           RegExpReplace(acc, L.create(pat), L.create(rep))
         }
       })
+    register(ext, "graft_pii_scrub_count",
+      "graft_pii_scrub_count(text) - struct<clean, n0..n4>: the PII chain " +
+        "fused to one count-and-replace matcher pass per stage; n_i counts " +
+        "stage i's matches after stages 0..i-1 scrubbed (piiReport kernel)", 1,
+      args => graft.functions.RegexScrubCount(args.head,
+        new graft.functions.CompiledScrubChain(graft.ops.TextOps.PiiChain)))
     register(ext, "http_payload",
       "http_payload(block) - bytes after the first CRLFCRLF of a binary " +
         "HTTP message (null if absent); the payload-digest cut", 1,

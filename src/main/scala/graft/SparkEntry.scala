@@ -701,9 +701,9 @@ object SparkEntry {
           lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit("."), (pmod(col("doc_id"), lit(254)) + 1).cast("string")
         ).as("raw"))
-      // staged report form: each chain stage's regex runs ONCE per row
-      // (the composed piiScrub+piiCounts columns re-run earlier replaces
-      // inside every later count — O(chain²) passes, measured 1.9 s here)
+      // fused report form: ONE matcher pass per chain stage counts AND
+      // replaces (RegexScrubCount kernel; 5 regex passes/row, not 10 —
+      // the composed piiScrub+piiCounts columns would be O(chain²))
       graft.ops.TextOps.piiReport(injected, "raw")
         .select(col("doc_id"), col("clean"), col("n_email"), col("n_phone"),
           col("n_phone_nat"), col("n_ipv6"), col("n_ip"))

@@ -375,15 +375,20 @@ object TextOps {
   }
 
   /**
-   * Staged scrub-and-count over a whole frame: adds `clean` plus one
+   * Fused scrub-and-count over a whole frame: adds `clean` plus one
    * `n_<category>` column per [[PiiChain]] entry. PREFER THIS over
    * composing [[piiScrub]] + [[piiCounts]] yourself: those build NESTED
    * column expressions, so stage i's replace re-runs inside every later
    * stage's count — O(chain²) regex passes per row (measured 1.9 s vs
-   * 1.2 s on the q60 bench). Here each intermediate scrub stage is staged
-   * as a REAL attribute through its own projection, each regex runs
-   * exactly once per row, and the whole chain stays narrow whole-stage
-   * codegen. `categories` must match [[PiiChain]] length.
+   * 1.2 s on the q60 bench). Here the whole chain is ONE codegen'd kernel
+   * ([[graft.functions.RegexScrubCount]]): per stage, a single matcher
+   * traversal both counts and replaces (5 regex passes per row, not the
+   * staged ladder's 10, and one UTF8→String materialization instead of
+   * five), staged as one struct attribute through its own projection so
+   * the kernel runs exactly once per row. Count semantics are unchanged:
+   * each category counts matches in the text AFTER all earlier categories
+   * were scrubbed. Narrow, no shuffle, whole-stage codegen —
+   * `categories` must match [[PiiChain]] length.
    */
   def piiReport(df: org.apache.spark.sql.DataFrame, textCol: String,
                 categories: Seq[String] =
@@ -393,23 +398,18 @@ object TextOps {
     val reserved = ("clean" +: categories.map(c => s"n_$c")).filter(df.columns.contains)
     require(reserved.isEmpty,
       s"piiReport: input already has reserved column(s) ${reserved.mkString(", ")}")
-    val stage0 = df.withColumn("__pii_s0", col(textCol))
-    val staged = PiiChain.zipWithIndex.foldLeft(stage0) {
-      case (acc, ((pat, rep), i)) =>
-        // count BEFORE replacing, both reading the staged attribute s_i —
-        // then project s_{i+1}; select() boundaries keep CollapseProject
-        // from inlining a replace under the next stage's count
-        acc.withColumn(s"__pii_c${i + 1}", regexp_count(col(s"__pii_s$i"), lit(pat)))
-          .select(acc.columns.map(col) ++ Seq(col(s"__pii_c${i + 1}"),
-            regexp_replace(col(s"__pii_s$i"), pat, rep).as(s"__pii_s${i + 1}")): _*)
-    }
+    require(!df.columns.contains("__pii"), "piiReport: input already has __pii")
+    // the select() boundary stages the struct as a real attribute; the
+    // kernel is not "cheap" and is referenced 6 times below, so
+    // CollapseProject keeps the two projections separate (gated in PlanSpec)
+    val staged = df.select(df.columns.map(col) :+
+      graft.functions.RegexScrub.regex_scrub_count(col(textCol), PiiChain).as("__pii"): _*)
     staged
-      .withColumn("clean", col(s"__pii_s${PiiChain.length}"))
-      .drop((0 to PiiChain.length).map(i => s"__pii_s$i"): _*)
+      .withColumn("clean", col("__pii").getField("clean"))
       .withColumns(categories.zipWithIndex.map { case (c, i) =>
-        s"n_$c" -> col(s"__pii_c${i + 1}").cast("long")
+        s"n_$c" -> col("__pii").getField(s"n$i")
       }.toMap)
-      .drop((1 to PiiChain.length).map(i => s"__pii_c$i"): _*)
+      .drop("__pii")
   }
 
   /**

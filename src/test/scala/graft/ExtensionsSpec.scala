@@ -57,6 +57,18 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("s").collect()
     assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
     assert(viaSql.forall(_.getString(1).endsWith("[EMAIL]")))
+
+    // the fused kernel's SQL door agrees with the unfused chain: clean
+    // equals graft_pii_scrub, counts match regexp_count on the staged text
+    val fused = spark.sql(
+      """SELECT graft_pii_scrub_count(s || ' x@y.io 10.0.0.1') AS r,
+        |       graft_pii_scrub(s || ' x@y.io 10.0.0.1') AS c
+        |FROM t_portable ORDER BY s""".stripMargin).collect()
+    fused.foreach { row =>
+      val r = row.getStruct(0)
+      assert(r.getString(0) === row.getString(1))
+      assert((1 to 5).map(r.getLong) === Seq(1L, 0L, 0L, 0L, 1L))
+    }
   }
 
   test("graft_bpe_encode is SQL-reachable, identical to the API") {

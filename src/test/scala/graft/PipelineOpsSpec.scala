@@ -301,6 +301,31 @@ class PipelineOpsSpec extends SparkSpec {
     val opt = report.queryExecution.optimizedPlan.toString
     assert(!opt.matches("(?s).*regexp_count\\([^)]*regexp_replace.*"),
       "piiReport regressed to nested (quadratic) regex stages:\n" + opt.take(1500))
+    // the fused kernel runs ONCE per row: CollapseProject must not inline
+    // the non-cheap struct under its 6 GetStructField consumers. (Gate on
+    // a range-backed frame — a LocalRelation input would be constant-folded
+    // by ConvertToLocalRelation and show no kernel at all.)
+    val ranged = graft.ops.TextOps.piiReport(
+      spark.range(3).select(concat(lit("u"), col("id").cast("string"),
+        lit("@ex.io")).as("raw")), "raw")
+    val opt2 = ranged.queryExecution.optimizedPlan.toString
+    val kernelRefs = "regex_scrub_count".r.findAllIn(opt2).size
+    assert(kernelRefs === 1,
+      s"regex_scrub_count evaluated $kernelRefs times in the optimized plan:\n" +
+        opt2.take(1500))
+
+    // kernel edge cases straight through the expression: empty string,
+    // replacement-metacharacter text ($/\ must stay literal), adjacent
+    // matches, and null propagation
+    val edge = Seq[(Integer, String)]((1, ""), (2, "cost $1 and \\2 from a@b.io c@d.io"),
+      (3, null))
+      .toDF("i", "raw")
+    val er = graft.ops.TextOps.piiReport(edge, "raw").orderBy("i")
+      .select("clean", "n_email").collect()
+    assert(er(0).getString(0) === "" && er(0).getLong(1) === 0L)
+    assert(er(1).getString(0) === "cost $1 and \\2 from [EMAIL] [EMAIL]" &&
+      er(1).getLong(1) === 2L)
+    assert(er(2).isNullAt(0) && er(2).isNullAt(1))
     // reserved-name guard matches the other pipeline ops
     val clash = intercept[IllegalArgumentException] {
       graft.ops.TextOps.piiReport(rows.select(col("raw"), lit(1).as("clean")), "raw")
