@@ -790,6 +790,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q67_quantize_int8" -> ((s, dir) => {
+      // per-vector symmetric int8 quantization (codes + scale) — the 4x
+      // scan-bytes reduction for a 100 TB embedding corpus; every step is
+      // deterministic arithmetic, so DuckDB reproduces codes bit-for-bit
+      AnnOps.quantizeInt8(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), "embedding")
+        .select(col("vec_id"), col("qscale"),
+          concat_ws(",", col("codes")).as("code_str"))
+        .orderBy("vec_id")
+    }),
+
+    "q68_quantized_topk" -> ((s, dir) => {
+      // asymmetric-distance top-k: int8 corpus codes vs full-precision
+      // queries, score = qscale * <codes, qv>. Integer-valued query
+      // components (the q27 trick) make the dot exact/order-independent, so
+      // the whole ranking is cross-engine-checkable
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id"),
+        transform(col("embedding"), x => round(x * 1000, 0).cast("double")).as("qv"))
+      AnnOps.quantizedTopK(e, "vec_id", "embedding", q, "vec_id", "qv", k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     "q48_dedup_clusters" -> ((s, dir) => {
       // cluster resolution: CHAIN pairs (adjacent ids within an exact-dup
       // group — the multi-hop stress shape; a clique would converge in one
@@ -1540,6 +1563,44 @@ object SparkEntry {
         |       coalesce(reb.n_kept, 0) AS n_kept,
         |       len(l0.ls) - coalesce(reb.n_kept, 0) AS n_dropped
         |FROM l0 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q67_quantize_int8" ->
+      // symmetric int8: scale = max|v|/127, code = clip(round(v/scale));
+      // max over exact float->double values and one IEEE divide are
+      // bit-deterministic, round is half-away-from-zero in both engines
+      """SELECT vec_id,
+        |       amax / 127 AS qscale,
+        |       CASE WHEN amax = 0
+        |            THEN array_to_string(list_transform(embedding, x -> 0), ',')
+        |            ELSE array_to_string(list_transform(embedding, x ->
+        |                   CAST(least(greatest(round(CAST(x AS DOUBLE) / (amax/127)), -127), 127) AS INTEGER)), ',')
+        |       END AS code_str
+        |FROM (SELECT vec_id, embedding,
+        |        list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q68_quantized_topk" ->
+      // ADC ranking: integer dot (order-independent) x one scale multiply
+      """WITH c AS (SELECT vec_id AS id, embedding,
+        |             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+        |           FROM embeddings),
+        |  qz AS (SELECT id, amax / 127 AS qscale,
+        |           CASE WHEN amax = 0
+        |                THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |                ELSE list_transform(embedding, x ->
+        |                       CAST(least(greatest(round(CAST(x AS DOUBLE) / (amax/127)), -127), 127) AS DOUBLE))
+        |           END AS codes
+        |         FROM c),
+        |  q AS (SELECT vec_id AS qid,
+        |          list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS qv
+        |        FROM embeddings WHERE vec_id < 5),
+        |  scored AS (SELECT qid, id, qscale * list_dot_product(codes, qv) AS score FROM qz, q),
+        |  ranked AS (SELECT qid, id, score,
+        |               row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+        |             FROM scored)
+        |SELECT qid, id, round(score, 4) AS score, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE

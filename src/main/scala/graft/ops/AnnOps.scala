@@ -210,4 +210,68 @@ object AnnOps {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  // ------------------------------------------------- int8 scalar quantization
+
+  /**
+   * Per-vector symmetric int8 scalar quantization — the memory/scan-bytes
+   * lever for 100 TB embedding corpora: fp32 vectors become 4x-smaller int8
+   * codes plus ONE double scale per vector, and the quantized index scan
+   * moves a quarter of the bytes. `scale = max_i |v_i| / 127`,
+   * `code_i = clip(round(v_i / scale), -127, 127)`; an all-zero vector gets
+   * scale 0 and all-zero codes. Dequantization is `code_i * scale`, with
+   * per-component error <= scale/2.
+   *
+   * Adds `codes array<int>` and `qscale double` to the frame. Every step is
+   * deterministic arithmetic (max, divide, round-half-away-from-zero), so an
+   * external engine reproduces the codes bit-for-bit — DuckDB oracle-checked
+   * in q67. The |v| fold is staged as a REAL attribute before the codes
+   * transform references it: inlined, Catalyst would re-run the O(d) fold
+   * once per component (the [[graft.ops.TextOps.wordNgrams]] trap).
+   */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+                   codesCol: String = "codes", scaleCol: String = "qscale"): DataFrame = {
+    val clash = Seq(codesCol, scaleCol, "__amax").filter(df.columns.contains)
+    require(clash.isEmpty, s"quantizeInt8: input already has ${clash.mkString(", ")}")
+    val amax = aggregate(col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    // select() boundary: __amax becomes an attribute, the fold runs once
+    val staged = df.select(df.columns.map(col) :+ amax.as("__amax"): _*)
+    staged
+      .withColumn(scaleCol, col("__amax") / 127.0d)
+      .withColumn(codesCol,
+        when(col("__amax") === 0.0d,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol), x =>
+            least(greatest(round(x.cast("double") / col(scaleCol)), lit(-127.0d)),
+              lit(127.0d)).cast("int"))))
+      .drop("__amax")
+  }
+
+  /**
+   * Asymmetric-distance top-k over int8-quantized corpus vectors (the ADC
+   * search of a quantized index): queries stay full-precision, each corpus
+   * score is the dequantized inner product `qscale * <codes, qv>`, ranked
+   * (score DESC, id ASC) per query. One integer-dot fold per (probed row,
+   * query) — the scan reads codes (4x fewer bytes than fp32) + one scale.
+   *
+   * Cross-engine determinism (the q27 trick, one step further): with
+   * integer-valued query components the dot product is an exact
+   * integer-valued double — order-independent, so any summation order in
+   * any engine agrees — and the single `scale * dot` multiply after it is
+   * one IEEE op. q68 oracle-checks the full ranking against DuckDB.
+   */
+  def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int): DataFrame = {
+    val quant = quantizeInt8(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
+      .select(col("id"), col("codes"), col("qscale"))
+    val scored = quant
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
+      .withColumn("score", col("qscale") * dotProduct(col("codes"), col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"), col("rank"))
+  }
 }

@@ -90,4 +90,55 @@ class AnnIndexSpec extends SparkSpec {
     // a sane threshold classifies SOME fraction deterministically — rerun agrees
     assert(AnnOps.ivfStaleness(spark, idx, 0.5) === stats)
   }
+
+  test("int8 quantization: codes bounded, error <= scale/2, zero vector, staged fold") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val withZero = e.unionByName(
+      Seq((-1L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val q = AnnOps.quantizeInt8(withZero, "embedding").collect()
+    assert(q.length === withZero.count())
+    q.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      val scale = r.getAs[Double]("qscale")
+      assert(codes.length === v.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(scale >= 0.0)
+      if (r.getLong(0) == -1L) {
+        assert(scale === 0.0 && codes.forall(_ === 0), "zero vector: scale 0, codes 0")
+      } else {
+        // dequantization error bound of symmetric scalar quantization
+        v.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12,
+            s"|$x - $c*$scale| > scale/2")
+        }
+        assert(codes.exists(c => math.abs(c) === 127), "max component must hit ±127")
+      }
+    }
+
+    // the |v| max-fold is staged as an attribute: ONE aggregate in the
+    // optimized plan, not one per codes component (the HOF-recompute trap)
+    val opt = AnnOps.quantizeInt8(e, "embedding").queryExecution.optimizedPlan.toString
+    val folds = "aggregate\\(".r.findAllIn(opt).size
+    assert(folds === 1, s"expected the single staged amax fold, saw $folds:\n" + opt.take(1500))
+
+    // asymmetric-distance ranking: recall@10 vs the exact inner-product
+    // top-k on the same integer-valued queries (deterministic fixture; int8
+    // on 64 dims measured lossless here — assert a margin below that)
+    val queries = e.filter(col("vec_id") < 5).select(col("vec_id"),
+      transform(col("embedding"), x => round(x * 1000, 0).cast("double")).as("qv"))
+    val quant = AnnOps.quantizedTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "qv", k = 10)
+      .select("qid", "id").collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val exactScored = e.join(broadcast(queries.withColumnRenamed("vec_id", "qid")))
+      .withColumn("score", graft.ops.DedupOps.dotProduct(col("embedding"), col("qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    val exact = exactScored.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select("qid", "vec_id").collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@10 = $recall")
+  }
 }
