@@ -104,9 +104,17 @@ object AnnOps {
    * partition pruning reads only the ~nprobe/nlist probed cluster
    * directories per query batch — at 100 TB the index scan touches a few
    * percent of the files, no re-clustering, no full pass.
+   *
+   * `int8 = true` builds the IVF-SQ8 variant: assignments store int8
+   * [[quantizeInt8]] codes + one scale per vector instead of fp32 vectors
+   * (4x fewer index bytes, ~4x fewer bytes moved per probe), with the
+   * DEQUANTIZED norm precomputed at build time. [[ivfTopKIndexed]],
+   * [[appendToIvfIndex]] and [[ivfStaleness]] detect the layout from the
+   * stored schema and score via the asymmetric dequantized dot — same API,
+   * same DPP, ranked by the quantized approximation of cosine.
    */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    indexDir: String, nlist: Int = 16): Unit = {
+                    indexDir: String, nlist: Int = 16, int8: Boolean = false): Unit = {
     // ATOMIC publish: both halves stage into a sibling directory and land
     // with ONE rename — a reader can never pair new centroids with old
     // assignments. In-place rebuild is refused: a served index version is
@@ -124,8 +132,7 @@ object AnnOps {
       indexDir + s".building-${java.util.UUID.randomUUID()}")
     val cents = centroids(corpus, idCol, vecCol, nlist).cache()
     cents.write.mode("overwrite").parquet(s"$stage/centroids")
-    assign(corpus, idCol, vecCol, cents)
-      .withColumn("n", vecNorm(col("v"))) // norms once, at build time
+    indexRows(assign(corpus, idCol, vecCol, cents), int8)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/assignments")
     cents.unpersist()
     if (fs.exists(target)) fs.delete(target, true) // empty placeholder only
@@ -133,6 +140,28 @@ object AnnOps {
       throw new java.io.IOException(s"index publish rename failed: $stage -> $target")
     ()
   }
+
+  /** Assignment rows in the on-disk layout: fp32 `(id, v, n, cid)` or
+    * int8 `(id, codes, qscale, n, cid)` with `n` the DEQUANTIZED norm —
+    * either way norms are computed once, at build/append time. */
+  private def indexRows(assigned: DataFrame, int8: Boolean): DataFrame =
+    if (int8)
+      quantizeInt8(assigned, "v")
+        .select(col("id"), col("cid"), col("codes"), col("qscale"))
+        .withColumn("n", col("qscale") * vecNorm(col("codes")))
+    else assigned.withColumn("n", vecNorm(col("v")))
+
+  /** Cosine of a stored assignment row against a staged (vec, norm) pair —
+    * layout-aware: int8 rows score the dequantized asymmetric dot
+    * `qscale * <codes, q>` over their dequantized norm, fp32 rows the
+    * exact dot. Scale cancellation is NOT assumed (it only holds for
+    * per-vector symmetric scales), so this stays correct if the
+    * quantization scheme gains zero-points or per-dimension scales. */
+  private def storedCosine(assignments: DataFrame, qvec: Column, qnorm: Column): Column =
+    if (assignments.columns.contains("codes"))
+      cosineFromParts(col("qscale") * dotProduct(col("codes"), qvec), col("n"), qnorm)
+    else
+      cosineFromParts(dotProduct(col("v"), qvec), col("n"), qnorm)
 
   /**
    * Append new vectors to a persisted IVF index WITHOUT re-clustering: assign
@@ -158,8 +187,10 @@ object AnnOps {
                        indexDir: String): Unit = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids") // frozen at build
-    assign(corpus, idCol, vecCol, cents)
-      .withColumn("n", vecNorm(col("v")))
+    // the stored layout (fp32 vs int8) is part of the index contract: an
+    // append must match it or later scans see a mixed schema
+    val int8 = spark.read.parquet(s"$indexDir/assignments").columns.contains("codes")
+    indexRows(assign(corpus, idCol, vecCol, cents), int8)
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/assignments")
   }
 
@@ -177,8 +208,9 @@ object AnnOps {
     // norm fold per assignment row would multiply it by the corpus size
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .withColumn("cn", vecNorm(col("cv")))
-    val sim = cosineFromParts(dotProduct(col("v"), col("cv")), col("n"), col("cn"))
-    val row = spark.read.parquet(s"$indexDir/assignments")
+    val assignments = spark.read.parquet(s"$indexDir/assignments")
+    val sim = storedCosine(assignments, col("cv"), col("cn"))
+    val row = assignments
       .join(broadcast(cents), Seq("cid"))
       .agg(count(lit(1)).as("total"),
         // sum over an empty relation is NULL, not 0
@@ -189,7 +221,11 @@ object AnnOps {
   }
 
   /** Top-k over a persisted IVF index (see [[buildIvfIndex]]); identical
-    * output to [[ivfTopK]] with the same nlist (deterministic centroids). */
+    * output to [[ivfTopK]] with the same nlist (deterministic centroids)
+    * for an fp32 index. Over an int8 index the same call scores the
+    * dequantized asymmetric dot (cosine of the quantized vector) — ranks
+    * match fp32 up to the int8 approximation (recall asserted in
+    * AnnIndexSpec), bytes scanned per probe drop ~4x. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int, nprobe: Int = 4): DataFrame = {
@@ -204,7 +240,7 @@ object AnnOps {
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
     val scored = assigned // norms stored; join on the PARTITION column -> DPP
       .join(broadcast(qClusters), Seq("cid"))
-      .withColumn("cosine", cosineFromParts(dotProduct(col("v"), col("qv")), col("n"), col("qn")))
+      .withColumn("cosine", storedCosine(assigned, col("qv"), col("qn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

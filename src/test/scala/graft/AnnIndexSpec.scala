@@ -141,4 +141,50 @@ class AnnIndexSpec extends SparkSpec {
     val recall = quant.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"quantized recall@10 = $recall")
   }
+
+  test("int8 IVF index: same API, ~4x smaller rows, append + staleness honor the layout") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val fp32 = java.nio.file.Files.createTempDirectory("ivf32").toString
+    val sq8 = java.nio.file.Files.createTempDirectory("ivfsq8").toString
+    AnnOps.buildIvfIndex(e, "vec_id", "embedding", fp32, nlist = 8)
+    AnnOps.buildIvfIndex(e, "vec_id", "embedding", sq8, nlist = 8, int8 = true)
+
+    // stored layout: codes + per-vector scale, no fp32 vector column
+    val stored = spark.read.parquet(s"$sq8/assignments")
+    assert(stored.columns.toSet === Set("id", "codes", "qscale", "n", "cid"))
+
+    // same search API; DPP still prunes; ranks match fp32 up to int8 error
+    val exact = AnnOps.ivfTopKIndexed(spark, fp32, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8).select("qid", "id")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val qRes = AnnOps.ivfTopKIndexed(spark, sq8, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8)
+    val quant = qRes.select("qid", "id")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8-index recall@10 vs fp32 index = $recall")
+    val plan = qRes.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"))
+
+    // append detects the int8 layout: new rows carry codes, are reachable
+    val extra = Seq((9001L, Seq.fill(64)(0.5f)), (9002L, Seq.fill(64)(-0.25f)))
+      .toDF("vec_id", "embedding")
+    AnnOps.appendToIvfIndex(extra, "vec_id", "embedding", sq8)
+    val appended = spark.read.parquet(s"$sq8/assignments")
+    assert(appended.columns.toSet === Set("id", "codes", "qscale", "n", "cid"))
+    assert(appended.count() === e.count() + 2)
+    val afterIds = AnnOps.ivfTopKIndexed(spark, sq8, extra, "vec_id", "embedding",
+      k = 3, nprobe = 8).select("id")
+      .collect().map(_.get(0).toString).toSet
+    assert(afterIds.contains("9001") && afterIds.contains("9002"),
+      "appended vectors must be their own nearest neighbors")
+
+    // staleness scores the quantized rows; deterministic across reruns
+    val stats = AnnOps.ivfStaleness(spark, sq8, simThreshold = 0.5)
+    assert(stats.n_vectors === e.count() + 2)
+    assert(stats.stale_fraction >= 0.0 && stats.stale_fraction <= 1.0)
+    assert(AnnOps.ivfStaleness(spark, sq8, 0.5) === stats)
+  }
 }
