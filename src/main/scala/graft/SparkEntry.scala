@@ -790,6 +790,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q69_dsir_select" -> ((s, dir) => {
+      // DSIR importance resampling: two style sub-populations are injected
+      // (class A " alpha beta alpha", class B " gamma delta gamma"); the
+      // TARGET corpus shares class A's style, so the selection must
+      // up-weight class A (enrichment asserted in PipelineOpsSpec — the
+      // injected-construction non-vacuity discipline of q60/q65)
+      val m = md5(col("doc_id").cast("string"))
+      val coin = conv(substring(m, 1, 8), 16, 10).cast("long") % 8
+      val styled = t(s, dir, "documents").withColumn("text",
+        when(coin === 0, concat(col("text"), lit(" alpha beta alpha")))
+          .when(coin === 1, concat(col("text"), lit(" gamma delta gamma")))
+          .otherwise(col("text")))
+      val tcoin = conv(substring(md5(concat(lit("t:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 4
+      val target = t(s, dir, "documents").filter(tcoin === 0)
+        .withColumn("text", concat(col("text"), lit(" alpha beta alpha")))
+      TextOps.dsirSelect(styled, "doc_id", "text", target, k = 100, minCount = 5)
+        .orderBy("rank")
+    }),
+
     "q67_quantize_int8" -> ((s, dir) => {
       // per-vector symmetric int8 quantization (codes + scale) — the 4x
       // scan-bytes reduction for a 100 TB embedding corpus; every step is
@@ -1563,6 +1583,74 @@ object SparkEntry {
         |       coalesce(reb.n_kept, 0) AS n_kept,
         |       len(l0.ls) - coalesce(reb.n_kept, 0) AS n_dropped
         |FROM l0 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q69_dsir_select" ->
+      // mirrors TextOps.dsirSelect: source LM self-trained on the styled
+      // corpus (q65's block), target LM trained on the target slice and
+      // scored on the corpus with LEFT-join backoff (unseen word -> <unk>,
+      // unseen pair -> c2=0, unseen context -> c1=0), micro-nat LONG sums,
+      // gumbel key over the md5-uniform coin
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) = 0
+        |              THEN text || ' alpha beta alpha'
+        |              WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) = 1
+        |              THEN text || ' gamma delta gamma'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |tgt AS (
+        |  SELECT doc_id, text || ' alpha beta alpha' AS text
+        |  FROM documents
+        |  WHERE (CAST(('0x' || substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4) = 0),
+        |ctoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t FROM corpus),
+        |cpairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |s_uni AS (SELECT w, count(*) AS cnt FROM (SELECT unnest(t) AS w FROM ctoks) GROUP BY w),
+        |s_nv AS (SELECT count(*) AS v FROM s_uni WHERE cnt >= 5),
+        |s_umap AS (SELECT w, CASE WHEN cnt >= 5 THEN w ELSE '<unk>' END AS u FROM s_uni),
+        |s_ctx AS (SELECT u, sum(cnt) AS c1 FROM s_umap JOIN s_uni USING (w) GROUP BY u),
+        |s_mapped AS (
+        |  SELECT p.doc_id, m1.u AS u1, m2.u AS u2
+        |  FROM cpairs p JOIN s_umap m1 ON p.w1 = m1.w JOIN s_umap m2 ON p.w2 = m2.w),
+        |s_model AS (SELECT u1, u2, count(*) AS c2 FROM s_mapped GROUP BY u1, u2),
+        |s_sum AS (
+        |  SELECT mp.doc_id,
+        |         sum(CAST(round((ln(s_model.c2 + 1) - ln(s_ctx.c1 + s_nv.v + 1)) * 1000000) AS BIGINT)) AS q
+        |  FROM s_mapped mp JOIN s_model ON mp.u1 = s_model.u1 AND mp.u2 = s_model.u2
+        |                   JOIN s_ctx ON mp.u1 = s_ctx.u CROSS JOIN s_nv
+        |  GROUP BY mp.doc_id),
+        |ttoks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t FROM tgt),
+        |tpairs AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM ttoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |t_uni AS (SELECT w, count(*) AS cnt FROM (SELECT unnest(t) AS w FROM ttoks) GROUP BY w),
+        |t_nv AS (SELECT count(*) AS v FROM t_uni WHERE cnt >= 5),
+        |t_umap AS (SELECT w, CASE WHEN cnt >= 5 THEN w ELSE '<unk>' END AS u FROM t_uni),
+        |t_ctx AS (SELECT u, sum(cnt) AS c1 FROM t_umap JOIN t_uni USING (w) GROUP BY u),
+        |t_mapped AS (
+        |  SELECT p.doc_id, coalesce(m1.u, '<unk>') AS u1, coalesce(m2.u, '<unk>') AS u2
+        |  FROM cpairs p LEFT JOIN t_umap m1 ON p.w1 = m1.w LEFT JOIN t_umap m2 ON p.w2 = m2.w),
+        |t_model AS (
+        |  SELECT coalesce(m1.u, '<unk>') AS u1, coalesce(m2.u, '<unk>') AS u2, count(*) AS c2
+        |  FROM tpairs LEFT JOIN t_umap m1 ON tpairs.w1 = m1.w LEFT JOIN t_umap m2 ON tpairs.w2 = m2.w
+        |  GROUP BY 1, 2),
+        |t_sum AS (
+        |  SELECT mp.doc_id,
+        |         sum(CAST(round((ln(coalesce(t_model.c2, 0) + 1) - ln(coalesce(t_ctx.c1, 0) + t_nv.v + 1)) * 1000000) AS BIGINT)) AS q
+        |  FROM t_mapped mp LEFT JOIN t_model ON mp.u1 = t_model.u1 AND mp.u2 = t_model.u2
+        |                   LEFT JOIN t_ctx ON mp.u1 = t_ctx.u CROSS JOIN t_nv
+        |  GROUP BY mp.doc_id),
+        |keyed AS (
+        |  SELECT s.doc_id,
+        |         round((t.q - s.q) / 1000000.0, 3) AS log_w,
+        |         CAST(round(((t.q - s.q) / 1000000.0
+        |           - ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0))) * 1000000) AS BIGINT) AS k
+        |  FROM s_sum s JOIN t_sum t USING (doc_id)),
+        |ranked AS (
+        |  SELECT doc_id, log_w, row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rank
+        |  FROM keyed)
+        |SELECT doc_id, log_w, rank FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     "q67_quantize_int8" ->
       // symmetric int8: scale = max|v|/127, code = clip(round(v/scale));

@@ -501,6 +501,21 @@ object TextOps {
   def ngramLmPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, minCount: Int = 5,
                         train: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    lmLogProbQ(df, idCol, textCol, minCount, train)
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lm_sum") / 1e6 / col("n_bigrams"), 3).as("avg_logp"),
+        round(exp(-(col("__lm_sum") / 1e6) / col("n_bigrams")), 2).as("ppl"))
+
+  /** [[ngramLmPerplexity]]'s core, exposed for ops that COMBINE log-probs
+    * across models (e.g. [[dsirSelect]]'s importance ratio): per doc,
+    * `n_bigrams` and the EXACT micro-nat LONG sum `__lm_sum` of per-pair
+    * ln p — integer sums subtract exactly, so a log-RATIO of two models is
+    * itself order-free and cross-engine-exact, which a pre-rounded avg
+    * would not be. */
+  def lmLogProbQ(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, minCount: Int = 5,
+                 train: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     val clash = df.columns.filter(_.startsWith("__lm_"))
@@ -534,20 +549,76 @@ object TextOps {
     val ctx = umap.groupBy(col("__lm_u").as("u1")).agg(sum("__lm_cnt").as("c1"))
 
     val trainMapped = unkMap(toPairs(trainToks), umap)
-    // context counts ride ON the model (vocab²-bounded side), so the
-    // corpus-sized pair stream shuffles exactly once, on (u1,u2)
     val model = trainMapped.groupBy("u1", "u2").agg(count(lit(1)).as("c2"))
-      .join(ctx, Seq("u1"), "left")
     val scoreMapped = train.map(_ => unkMap(toPairs(toToks(df)), umap)).getOrElse(trainMapped)
 
     val lnp = log(coalesce(col("c2"), lit(0L)) + 1) -
       log(coalesce(col("c1"), lit(0L)) + vLit)
+    // ctx joins SEPARATELY from the pair model (both vocab-bounded
+    // broadcast sides): a foreign pair absent from the model must still see
+    // its context count — through-the-model c1 would null out on every
+    // unseen pair, silently flattening the backoff to 1/V (the documented
+    // contract is p = 1/(c1+V)). The corpus-sized pair stream still
+    // shuffles exactly once, on (u1,u2).
     scoreMapped.join(model, Seq("u1", "u2"), "left")
+      .join(ctx, Seq("u1"), "left")
       .select(col("__lm_id"), round(lnp * 1e6, 0).cast("long").as("__lm_q"))
       .groupBy("__lm_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("__lm_q").as("__lm_sum"))
-      .select(col("__lm_id").as(idCol), col("n_bigrams"),
-        round(col("__lm_sum") / 1e6 / col("n_bigrams"), 3).as("avg_logp"),
-        round(exp(-(col("__lm_sum") / 1e6) / col("n_bigrams")), 2).as("ppl"))
+      .withColumnRenamed("__lm_id", idCol)
+  }
+
+  /**
+   * DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling" — semantics source; the
+   * relational formulation here is original): select the `k` corpus docs
+   * whose token distribution looks most like a TARGET domain, by the
+   * log-importance ratio of two bigram LMs,
+   *
+   *   log w(doc) = log p_target(doc) - log p_source(doc)
+   *
+   * with p_target trained on `target`, p_source on the corpus itself (both
+   * via [[lmLogProbQ]] — the two micro-nat LONG sums subtract EXACTLY, so
+   * the ratio is order-free and cross-engine-reproducible). Sampling is
+   * Gumbel-top-k without replacement: rank by `log w + G_i` where
+   * `G_i = -ln(-ln(u_i))` and `u_i` is the md5-uniform coin of (seed, id) —
+   * deterministic, replayable, and portable to the DuckDB oracle (q69).
+   * The Gumbel key is micro-quantized to a LONG like every other
+   * cross-engine float in this family; ties break on id.
+   *
+   * Output: (idCol, log_w, rank) for the k selected docs, rank 1..k by
+   * descending key. Docs with < 2 tokens have no bigrams, hence no weight,
+   * and are never selected — the [[lmLogProbQ]] contract.
+   *
+   * Scale shape: two LM passes (each two map-side-combinable aggs + one
+   * (u1,u2) shuffle), one exact-integer join on id, and a global top-k —
+   * `orderBy.limit(k)` is a TakeOrderedAndProject (per-partition heaps +
+   * driver merge of k·P rows), never a full sort, and k is the only
+   * driver-sized quantity. No windows, no all-pairs work.
+   */
+  def dsirSelect(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, target: org.apache.spark.sql.DataFrame,
+                 k: Int, minCount: Int = 5, seed: String = "dsir")
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tSum = lmLogProbQ(corpus, idCol, textCol, minCount, train = Some(target))
+      .select(col(idCol), col("__lm_sum").as("__dsir_t"))
+    val sSum = lmLogProbQ(corpus, idCol, textCol, minCount, train = None)
+      .select(col(idCol), col("__lm_sum").as("__dsir_s"))
+    // same tokenizer, same pair stream -> 1:1 on id; the subtraction is
+    // exact integer arithmetic (micro-nats)
+    val logW = (col("__dsir_t") - col("__dsir_s")) / 1e6
+    // strictly-interior uniform: (h32 + 0.5) / 2^32 can't hit 0 or 1, so
+    // the nested logs never see 0/inf
+    val u = (conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val key = round((logW - log(-log(u))) * 1e6, 0).cast("long")
+    tSum.join(sSum, Seq(idCol))
+      .select(col(idCol), round(logW, 3).as("log_w"), key.as("__dsir_key"))
+      .orderBy(col("__dsir_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("log_w"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__dsir_key").desc, col(idCol).asc)).as("rank"))
   }
 }

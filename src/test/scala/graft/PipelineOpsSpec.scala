@@ -454,14 +454,58 @@ class PipelineOpsSpec extends SparkSpec {
       s"injected docs must have higher perplexity: ${r(true)} vs ${r(false)}")
   }
 
-  test("ngramLmPerplexity: foreign-corpus scoring backs off unseen pairs to 1/V") {
+  test("ngramLmPerplexity: foreign-corpus scoring backs off unseen pairs to 1/(c1+V)") {
     import spark.implicits._
     val train = Seq((1L, "a b a b a")).toDF("doc_id", "text") // vocab {a,b}, V=3
     val score = Seq((9L, "a q b")).toDF("doc_id", "text")     // q unseen anywhere
     val r = graft.ops.TextOps.ngramLmPerplexity(score, "doc_id", "text",
       minCount = 2, train = Some(train)).collect()(0)
-    // both pairs (a,<unk>) and (<unk>,b) are absent from the model: p = 1/3
-    assert(r.getLong(1) === 2L && r.getDouble(2) === -1.099 && r.getDouble(3) === 3.0)
+    // (a,<unk>): pair unseen but context a occurred 3x -> p = 1/(3+3);
+    // (<unk>,b): <unk> never a training context -> p = 1/(0+3).
+    // avg = (ln(1/6) + ln(1/3))/2 = -1.445 (micro-nat-quantized), ppl 4.24
+    assert(r.getLong(1) === 2L && r.getDouble(2) === -1.445 && r.getDouble(3) === 4.24)
+  }
+
+  test("dsirSelect: up-weights target-style docs, down-weights off-style, deterministic") {
+    // the q69 construction: class A (coin 0) shares the target's injected
+    // style, class B (coin 1) carries a disjoint style the target never saw
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = md5(col("doc_id").cast("string"))
+    val coin = conv(substring(m, 1, 8), 16, 10).cast("long") % 8
+    val styled = docs.withColumn("text",
+      when(coin === 0, concat(col("text"), lit(" alpha beta alpha")))
+        .when(coin === 1, concat(col("text"), lit(" gamma delta gamma")))
+        .otherwise(col("text")))
+    val tcoin = conv(substring(md5(concat(lit("t:"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long") % 4
+    val target = docs.filter(tcoin === 0)
+      .withColumn("text", concat(col("text"), lit(" alpha beta alpha")))
+
+    val sel = graft.ops.TextOps.dsirSelect(styled, "doc_id", "text", target, k = 100)
+    val rows = sel.collect()
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 100))
+
+    val byClass = sel.join(docs.select(col("doc_id"), (coin).as("cls")), Seq("doc_id"))
+      .groupBy("cls").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = byClass.getOrElse(0L, 0L); val b = byClass.getOrElse(1L, 0L)
+    // ~62 docs per class; uniform sampling would pick ~12-13 of each
+    assert(a >= 2 * math.max(b, 1L), s"target-style not enriched: A=$a B=$b")
+    assert(b <= 5, s"off-style class must be strongly down-weighted, got $b")
+    // class-A docs carry higher importance weights than class-B docs
+    val meanW = sel.join(docs.select(col("doc_id"), coin.as("cls")), Seq("doc_id"))
+      .groupBy("cls").agg(avg("log_w").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    if (meanW.contains(0L) && meanW.contains(1L)) assert(meanW(0L) > meanW(1L))
+
+    // deterministic: identical output on a second run
+    val again = graft.ops.TextOps.dsirSelect(styled, "doc_id", "text", target, k = 100)
+      .collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
+
+    // k beyond the weighted population returns every doc with >= 2 tokens
+    val all = graft.ops.TextOps.dsirSelect(styled, "doc_id", "text", target, k = 100000)
+      .collect()
+    assert(all.length === docs.count())
   }
 
   test("ngramLmPerplexity: reserved-column guard") {
