@@ -98,6 +98,18 @@ class PlanSpec extends SparkSpec {
       "distinct-doc counting regressed to the skewable direct form:\n" + p66.take(1200))
   }
 
+  test("q69: DSIR top-k is a bounded TakeOrdered, never a global sort") {
+    val p = planOf("q69_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-selection must be per-partition heaps + driver merge:\n" + p.take(1200))
+    // the rank window is allowed ONLY above the TakeOrdered (it then sees k
+    // rows, not the corpus); a window below it would be a global-sort killer
+    val winIdx = p.indexOf("Window [")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx < 0 || winIdx < takeIdx,
+      "a Window below the k-limit ranks the whole corpus:\n" + p.take(1500))
+  }
+
   test("q32: language-ID tokenizes once (staged attributes, no HOF recompute)") {
     val p = planOf("q32_langid")
     // one split() per row feeding four filter() scores; the old column-form
