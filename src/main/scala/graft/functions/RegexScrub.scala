@@ -34,6 +34,17 @@ final class CompiledScrubChain(val chain: Seq[(String, String)]) extends Seriali
   @transient private lazy val reps: Array[String] =
     chain.map { case (_, r) => Matcher.quoteReplacement(r) }.toArray
 
+  // value equality over the chain: RegexScrubCount is a case class, so
+  // without this two SQL calls over the same chain (the builder constructs
+  // a fresh CompiledScrubChain per parsed call) would never be
+  // semanticEquals — defeating common-subexpression elimination and plan
+  // canonicalization for the exact expression whose point is running once
+  override def equals(o: Any): Boolean = o match {
+    case c: CompiledScrubChain => c.chain == chain
+    case _ => false
+  }
+  override def hashCode: Int = chain.hashCode
+
   def scrubCount(s: UTF8String): InternalRow = {
     var cur = s.toString
     val out = new Array[Any](chain.length + 1)

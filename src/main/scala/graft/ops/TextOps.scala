@@ -507,6 +507,109 @@ object TextOps {
         round(col("__lm_sum") / 1e6 / col("n_bigrams"), 3).as("avg_logp"),
         round(exp(-(col("__lm_sum") / 1e6) / col("n_bigrams")), 2).as("ppl"))
 
+  /**
+   * A TRAINED add-one-smoothed bigram LM as vocab-bounded relational state:
+   * `umap` (word → vocab-or-`<unk>`; ≤ vocab rows, broadcastable), `ctx`
+   * (context unigram counts; ≤ vocab rows, broadcastable), `model` (bigram
+   * counts; observed-bigram-bounded — potentially large, joins as a
+   * shuffle), and `V = |vocab| + 1`. Train once with [[trainBigramLm]],
+   * score any number of corpora/batches with [[lmLogProbQMulti]] — the
+   * stream-static deployment shape (StreamingSpec holds one static model
+   * across micro-batches) and the multi-model shape ([[dsirSelect]] scores
+   * one pair stream under two models in a single pass).
+   */
+  case class BigramLm(umap: org.apache.spark.sql.DataFrame,
+                      ctx: org.apache.spark.sql.DataFrame,
+                      model: org.apache.spark.sql.DataFrame, v: Long)
+
+  private def lmToks(d: org.apache.spark.sql.DataFrame, idCol: String, textCol: String) =
+    d.select(col(idCol).as("__lm_id"), tokens(lower(col(textCol))).as("__lm_toks"))
+
+  // adjacent-pair stream straight off the token ARRAY — one generator, no
+  // per-doc window, no positional self-join
+  private def lmPairs(t: org.apache.spark.sql.DataFrame) = t.select(col("__lm_id"),
+      explode(arrays_zip(
+        slice(col("__lm_toks"), lit(1), greatest(size(col("__lm_toks")) - 1, lit(0))).as("w1"),
+        slice(col("__lm_toks"), lit(2), greatest(size(col("__lm_toks")) - 1, lit(0))).as("w2"))).as("__lm_p"))
+    .select(col("__lm_id"), col("__lm_p.w1").as("__lm_w1"), col("__lm_p.w2").as("__lm_w2"))
+
+  /** Train the bigram LM: two map-side-combinable aggregations (unigrams,
+    * bigrams). The unigram table is vocab-bounded, so its eager
+    * localCheckpoint pins only O(V) rows and feeds V + umap + ctx from one
+    * compute; V rides as a driver scalar. */
+  def trainBigramLm(train: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, minCount: Int = 5): BigramLm = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val unk = lit("<unk>")
+    val trainToks = lmToks(train, idCol, textCol)
+    val uni = trainToks.select(explode(col("__lm_toks")).as("__lm_w"))
+      .groupBy("__lm_w").agg(count(lit(1)).as("__lm_cnt"))
+      .localCheckpoint(true)
+    val v = uni.filter(col("__lm_cnt") >= minCount).count() + 1
+    val umap = uni.select(col("__lm_w"),
+      when(col("__lm_cnt") >= minCount, col("__lm_w")).otherwise(unk).as("__lm_u"),
+      col("__lm_cnt"))
+    val ctx = umap.groupBy(col("__lm_u").as("u1")).agg(sum("__lm_cnt").as("c1"))
+    val mapped = lmPairs(trainToks)
+      .join(broadcast(umap.select(col("__lm_w").as("__lm_w1"), col("__lm_u").as("u1"))),
+        Seq("__lm_w1"), "left")
+      .join(broadcast(umap.select(col("__lm_w").as("__lm_w2"), col("__lm_u").as("u2"))),
+        Seq("__lm_w2"), "left")
+      .select(coalesce(col("u1"), unk).as("u1"), coalesce(col("u2"), unk).as("u2"))
+    val model = mapped.groupBy("u1", "u2").agg(count(lit(1)).as("c2"))
+    BigramLm(umap, ctx, model, v)
+  }
+
+  /**
+   * Score one corpus under SEVERAL trained models in a single pass: the
+   * corpus is tokenized and pair-exploded ONCE, each pair is vocab-mapped
+   * through every model's broadcast umap, and per-model micro-nat LONG
+   * sums come out of one per-doc aggregation — n models cost one corpus
+   * scan + n model-join shuffles, not n full passes. Output:
+   * `(idCol, n_bigrams, __lm_sum_<name> ...)`.
+   *
+   * Backoff contract per model: unseen word → `<unk>`; `ctx` joins
+   * SEPARATELY from the pair model (both vocab-bounded broadcast sides —
+   * hinted, not hoped for): a foreign pair absent from the model must
+   * still see its context count — c1 routed through the model join would
+   * null out on every unseen pair, silently flattening the documented
+   * p = 1/(c1+V) backoff to 1/V.
+   */
+  def lmLogProbQMulti(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, lms: Seq[(String, BigramLm)])
+      : org.apache.spark.sql.DataFrame = {
+    require(lms.nonEmpty && lms.map(_._1).distinct.length == lms.length,
+      "lms must be non-empty with distinct names")
+    val clash = df.columns.filter(_.startsWith("__lm_"))
+    require(clash.isEmpty,
+      s"lmLogProbQMulti: input has reserved __lm_* column(s) ${clash.mkString(", ")}")
+    val unk = lit("<unk>")
+    val pairs = lmPairs(lmToks(df, idCol, textCol))
+    val mapped = lms.foldLeft(pairs) { case (acc, (nm, lm)) =>
+      acc.join(broadcast(lm.umap.select(col("__lm_w").as("__lm_w1"),
+          col("__lm_u").as(s"__lm_${nm}_u1raw"))), Seq("__lm_w1"), "left")
+        .join(broadcast(lm.umap.select(col("__lm_w").as("__lm_w2"),
+          col("__lm_u").as(s"__lm_${nm}_u2raw"))), Seq("__lm_w2"), "left")
+    }.select(col("__lm_id") +: lms.flatMap { case (nm, _) => Seq(
+      coalesce(col(s"__lm_${nm}_u1raw"), unk).as(s"__lm_${nm}_u1"),
+      coalesce(col(s"__lm_${nm}_u2raw"), unk).as(s"__lm_${nm}_u2")) }: _*)
+    val scored = lms.foldLeft(mapped) { case (acc, (nm, lm)) =>
+      acc.join(lm.model.select(col("u1").as(s"__lm_${nm}_u1"),
+          col("u2").as(s"__lm_${nm}_u2"), col("c2").as(s"__lm_${nm}_c2")),
+          Seq(s"__lm_${nm}_u1", s"__lm_${nm}_u2"), "left")
+        .join(broadcast(lm.ctx.select(col("u1").as(s"__lm_${nm}_u1"),
+          col("c1").as(s"__lm_${nm}_c1"))), Seq(s"__lm_${nm}_u1"), "left")
+    }
+    val sums = lms.map { case (nm, lm) =>
+      val lnp = log(coalesce(col(s"__lm_${nm}_c2"), lit(0L)) + 1) -
+        log(coalesce(col(s"__lm_${nm}_c1"), lit(0L)) + lit(lm.v))
+      sum(round(lnp * 1e6, 0).cast("long")).as(s"__lm_sum_$nm")
+    }
+    scored.groupBy("__lm_id")
+      .agg(count(lit(1)).as("n_bigrams"), sums: _*)
+      .withColumnRenamed("__lm_id", idCol)
+  }
+
   /** [[ngramLmPerplexity]]'s core, exposed for ops that COMBINE log-probs
     * across models (e.g. [[dsirSelect]]'s importance ratio): per doc,
     * `n_bigrams` and the EXACT micro-nat LONG sum `__lm_sum` of per-pair
@@ -517,55 +620,9 @@ object TextOps {
                  textCol: String, minCount: Int = 5,
                  train: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    require(minCount >= 1, "minCount must be >= 1")
-    val clash = df.columns.filter(_.startsWith("__lm_"))
-    require(clash.isEmpty,
-      s"ngramLmPerplexity: input has reserved __lm_* column(s) ${clash.mkString(", ")}")
-    val unk = lit("<unk>")
-
-    def toToks(d: org.apache.spark.sql.DataFrame) =
-      d.select(col(idCol).as("__lm_id"), tokens(lower(col(textCol))).as("__lm_toks"))
-    // adjacent-pair stream straight off the token ARRAY — one generator, no
-    // per-doc window, no positional self-join
-    def toPairs(t: org.apache.spark.sql.DataFrame) = t.select(col("__lm_id"),
-        explode(arrays_zip(
-          slice(col("__lm_toks"), lit(1), greatest(size(col("__lm_toks")) - 1, lit(0))).as("w1"),
-          slice(col("__lm_toks"), lit(2), greatest(size(col("__lm_toks")) - 1, lit(0))).as("w2"))).as("__lm_p"))
-      .select(col("__lm_id"), col("__lm_p.w1").as("__lm_w1"), col("__lm_p.w2").as("__lm_w2"))
-    def unkMap(p: org.apache.spark.sql.DataFrame,
-               umap: org.apache.spark.sql.DataFrame) = p
-      .join(umap.select(col("__lm_w").as("__lm_w1"), col("__lm_u").as("u1")), Seq("__lm_w1"), "left")
-      .join(umap.select(col("__lm_w").as("__lm_w2"), col("__lm_u").as("u2")), Seq("__lm_w2"), "left")
-      .select(col("__lm_id"), coalesce(col("u1"), unk).as("u1"), coalesce(col("u2"), unk).as("u2"))
-
-    val trainToks = toToks(train.getOrElse(df))
-    val uni = trainToks.select(explode(col("__lm_toks")).as("__lm_w"))
-      .groupBy("__lm_w").agg(count(lit(1)).as("__lm_cnt"))
-      .localCheckpoint(true) // vocab-bounded, feeds V + umap + ctx: one compute
-    val vLit = lit(uni.filter(col("__lm_cnt") >= minCount).count() + 1) // V, driver scalar
-    val umap = uni.select(col("__lm_w"),
-      when(col("__lm_cnt") >= minCount, col("__lm_w")).otherwise(unk).as("__lm_u"),
-      col("__lm_cnt"))
-    val ctx = umap.groupBy(col("__lm_u").as("u1")).agg(sum("__lm_cnt").as("c1"))
-
-    val trainMapped = unkMap(toPairs(trainToks), umap)
-    val model = trainMapped.groupBy("u1", "u2").agg(count(lit(1)).as("c2"))
-    val scoreMapped = train.map(_ => unkMap(toPairs(toToks(df)), umap)).getOrElse(trainMapped)
-
-    val lnp = log(coalesce(col("c2"), lit(0L)) + 1) -
-      log(coalesce(col("c1"), lit(0L)) + vLit)
-    // ctx joins SEPARATELY from the pair model (both vocab-bounded
-    // broadcast sides): a foreign pair absent from the model must still see
-    // its context count — through-the-model c1 would null out on every
-    // unseen pair, silently flattening the backoff to 1/V (the documented
-    // contract is p = 1/(c1+V)). The corpus-sized pair stream still
-    // shuffles exactly once, on (u1,u2).
-    scoreMapped.join(model, Seq("u1", "u2"), "left")
-      .join(ctx, Seq("u1"), "left")
-      .select(col("__lm_id"), round(lnp * 1e6, 0).cast("long").as("__lm_q"))
-      .groupBy("__lm_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("__lm_q").as("__lm_sum"))
-      .withColumnRenamed("__lm_id", idCol)
+    val lm = trainBigramLm(train.getOrElse(df), idCol, textCol, minCount)
+    lmLogProbQMulti(df, idCol, textCol, Seq("m" -> lm))
+      .select(col(idCol), col("n_bigrams"), col("__lm_sum_m").as("__lm_sum"))
   }
 
   /**
@@ -590,30 +647,32 @@ object TextOps {
    * descending key. Docs with < 2 tokens have no bigrams, hence no weight,
    * and are never selected — the [[lmLogProbQ]] contract.
    *
-   * Scale shape: two LM passes (each two map-side-combinable aggs + one
-   * (u1,u2) shuffle), one exact-integer join on id, and a global top-k —
+   * Scale shape: two LM trainings (each two map-side-combinable aggs over
+   * its own corpus), then ONE scoring pass — [[lmLogProbQMulti]] tokenizes
+   * and pair-explodes the corpus once and maps it through both models'
+   * broadcast vocabularies (both micro-nat sums come out of the same
+   * per-doc aggregation, so no id join either) — and a global top-k:
    * `orderBy.limit(k)` is a TakeOrderedAndProject (per-partition heaps +
    * driver merge of k·P rows), never a full sort, and k is the only
-   * driver-sized quantity. No windows, no all-pairs work.
+   * driver-sized quantity. No windows below the k-limit, no all-pairs work.
    */
   def dsirSelect(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, target: org.apache.spark.sql.DataFrame,
                  k: Int, minCount: Int = 5, seed: String = "dsir")
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val tSum = lmLogProbQ(corpus, idCol, textCol, minCount, train = Some(target))
-      .select(col(idCol), col("__lm_sum").as("__dsir_t"))
-    val sSum = lmLogProbQ(corpus, idCol, textCol, minCount, train = None)
-      .select(col(idCol), col("__lm_sum").as("__dsir_s"))
-    // same tokenizer, same pair stream -> 1:1 on id; the subtraction is
-    // exact integer arithmetic (micro-nats)
-    val logW = (col("__dsir_t") - col("__dsir_s")) / 1e6
+    val tLm = trainBigramLm(target, idCol, textCol, minCount)
+    val sLm = trainBigramLm(corpus, idCol, textCol, minCount)
+    val sums = lmLogProbQMulti(corpus, idCol, textCol, Seq("t" -> tLm, "s" -> sLm))
+    // both sums ride the same row: the subtraction is exact integer
+    // arithmetic (micro-nats), no join needed
+    val logW = (col("__lm_sum_t") - col("__lm_sum_s")) / 1e6
     // strictly-interior uniform: (h32 + 0.5) / 2^32 can't hit 0 or 1, so
     // the nested logs never see 0/inf
     val u = (conv(substring(md5(concat(lit(s"$seed:"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
     val key = round((logW - log(-log(u))) * 1e6, 0).cast("long")
-    tSum.join(sSum, Seq(idCol))
+    sums
       .select(col(idCol), round(logW, 3).as("log_w"), key.as("__dsir_key"))
       .orderBy(col("__dsir_key").desc, col(idCol).asc)
       .limit(k)

@@ -69,6 +69,19 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getString(0) === row.getString(1))
       assert((1 to 5).map(r.getLong) === Seq(1L, 0L, 0L, 0L, 1L))
     }
+
+    // two independently-constructed chains over the same patterns must be
+    // semanticEquals (the SQL builder makes a fresh CompiledScrubChain per
+    // parsed call) — reference equality here would defeat CSE for the one
+    // expression whose point is running once per row
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
+    import org.apache.spark.sql.types.StringType
+    val child = AR("s", StringType)()
+    val e1 = graft.functions.RegexScrubCount(child,
+      new graft.functions.CompiledScrubChain(graft.ops.TextOps.PiiChain))
+    val e2 = graft.functions.RegexScrubCount(child,
+      new graft.functions.CompiledScrubChain(graft.ops.TextOps.PiiChain))
+    assert(e1.semanticEquals(e2))
   }
 
   test("graft_bpe_encode is SQL-reachable, identical to the API") {
