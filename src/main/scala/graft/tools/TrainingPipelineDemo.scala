@@ -88,18 +88,29 @@ object TrainingPipelineDemo {
       back.groupBy("lang").count().orderBy("lang").collect()
         .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(","))
 
+    // 5b) DSIR: anchor on the top-quality slice as the target domain and
+    // keep the docs whose token distribution matches it best (one scoring
+    // pass under both LMs via lmLogProbQMulti)
+    val tgt = back.filter(col("quality") >= 0.75).select(col("doc_id"), col("text"))
+    val kSel = math.max((back.count() * 3 / 4).toInt, 1)
+    val picked = graft.ops.TextOps.dsirSelect(
+      back.select(col("doc_id"), col("text")), "doc_id", "text", tgt, k = kSel)
+    val dsirKept = back.join(picked.select("doc_id"), Seq("doc_id"))
+    println(s"dsir: ${back.count()} -> ${dsirKept.count()} selected " +
+      s"(target = ${tgt.count()} high-quality docs)")
+
     // 6) corpus assembly: decontaminate vs a held-out eval slice, mix by
     // language quota, pack onto fixed token-budget sequences
-    val eval = back.orderBy("doc_id").limit(5).select(col("text").as("eval_text"))
+    val eval = dsirKept.orderBy("doc_id").limit(5).select(col("text").as("eval_text"))
     val cleaned = graft.ops.PipelineOps
-      .contaminationFlags(back, "doc_id", "text", eval, "eval_text", n = 4)
+      .contaminationFlags(dsirKept, "doc_id", "text", eval, "eval_text", n = 4)
       .filter(!col("contaminated"))
     val mixed = graft.ops.PipelineOps.stratifiedSample(cleaned, "lang", "doc_id",
       Map("en" -> 1.0, "unknown" -> 0.5), defaultRate = 0.25)
     val packed = graft.ops.PipelineOps.packSequences(mixed, "doc_id", "doc_id",
       col("n_tokens"), budget = 512)
     val nSeqs = packed.agg(coalesce(max(col("seq_id")) + 1, lit(0L))).head().getLong(0)
-    println(s"assembly: ${back.count()} -> ${cleaned.count()} decontaminated -> " +
+    println(s"assembly: ${dsirKept.count()} -> ${cleaned.count()} decontaminated -> " +
       s"${mixed.count()} mixed -> $nSeqs packed sequences of 512 tokens")
     spark.stop()
   }
