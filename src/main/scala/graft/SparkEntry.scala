@@ -790,6 +790,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q70_html_extract" -> ((s, dir) => {
+      // HTML -> text + title over deterministically-templated pages: every
+      // doc is wrapped in a full document with style/script blocks, a
+      // comment, block tags, and the core entity set — so the extractor is
+      // verified on real strip/decode work (the injected-construction
+      // discipline), and the chain is single-sourced into the oracle
+      val html = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>body{color:red}</style><script>var x=1; if(x<2){x=3;}</script></head>"),
+          lit("<body><!-- hidden comment --><h1 class=\"t\">Doc "),
+          col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+          lit("</p><div>tail &amp; more &lt;b&gt; &quot;q&quot; &#39;x&#39;&nbsp;end</div>"),
+          lit("</body></html>")).as("html"))
+      html.select(col("doc_id"),
+        TextOps.htmlTitle(col("html")).as("title"),
+        TextOps.htmlToText(col("html")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     "q69_dsir_select" -> ((s, dir) => {
       // DSIR importance resampling: two style sub-populations are injected
       // (class A " alpha beta alpha", class B " gamma delta gamma"); the
@@ -1583,6 +1603,29 @@ object SparkEntry {
         |       coalesce(reb.n_kept, 0) AS n_kept,
         |       len(l0.ls) - coalesce(reb.n_kept, 0) AS n_dropped
         |FROM l0 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q70_html_extract" -> {
+      // the clean expression is GENERATED from TextOps.HtmlChain — the
+      // engines can never drift on a step; patterns are RE2-portable by
+      // construction
+      def esc(s: String) = s.replace("'", "''")
+      val cleanExpr = graft.ops.TextOps.HtmlChain.foldLeft("html") {
+        case (acc, (p, r)) => s"regexp_replace($acc, '${esc(p)}', '${esc(r)}', 'g')"
+      }
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         '<html><head><title>Doc ' || doc_id
+         |           || '</title><style>body{color:red}</style><script>var x=1; if(x<2){x=3;}</script></head>'
+         |           || '<body><!-- hidden comment --><h1 class="t">Doc ' || doc_id
+         |           || '</h1><p>' || text
+         |           || '</p><div>tail &amp; more &lt;b&gt; &quot;q&quot; &#39;x&#39;&nbsp;end</div>'
+         |           || '</body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)</title>', 1) AS title,
+         |       $cleanExpr AS clean
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     "q69_dsir_select" ->
       // mirrors TextOps.dsirSelect: source LM self-trained on the styled

@@ -306,6 +306,51 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - n),
         i => xxhash64(slice(toks, i + 1, lit(n)))))
 
+  // ------------------------------------------------------ HTML text extract
+
+  /** HTML → text as an ORDERED (pattern, replacement) chain, single-sourced
+    * so the DuckDB oracle (q70) interpolates the IDENTICAL steps. All
+    * patterns are RE2-compatible (inline `(?s)`/`(?i)` flags, lazy
+    * quantifiers, `\A`/`\z` anchors — no lookaround). Order is the
+    * contract: script/style/comment BLOCKS drop first (their content must
+    * never surface as text), block-closing tags become newlines BEFORE the
+    * generic tag strip erases them, entities decode AFTER tags are gone
+    * (`&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;`, not `<`),
+    * then whitespace normalizes. Known regex-extractor limits, documented
+    * not hidden: a literal `>` inside an attribute value truncates that
+    * tag's strip, and CDATA is not special-cased. */
+  val HtmlChain: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    // SOURCE whitespace (incl. raw newlines) is just space in HTML — it
+    // normalizes BEFORE block tags mint the semantic newlines
+    "[ \\t\\r\\n]+" -> " ",
+    "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/title)\\b[^>]*>" -> "\n",
+    "<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&amp;" -> "&",
+    "[ \\t]+" -> " ",
+    " ?\\n ?" -> "\n",
+    "\\n+" -> "\n",
+    "\\A[\\n ]+" -> "",
+    "[\\n ]+\\z" -> "")
+
+  /** Extracted text of an HTML document: the [[HtmlChain]] fold — pure
+    * codegen `regexp_replace` chain, narrow, no shuffle (each step has ONE
+    * consumer, so nesting is recompute-safe). */
+  def htmlToText(html: Column): Column =
+    HtmlChain.foldLeft(html) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+
+  /** `<title>` contents (first match; "" when absent — regexp_extract's
+    * no-match convention in BOTH engines). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1)
+
   // ---------------------------------------------------------- PII scrubbing
 
   /** PII patterns, deliberately RE2-compatible (no lookaround, no

@@ -254,6 +254,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac("test") > 0.05 && frac("test") < 0.15)
   }
 
+  test("htmlToText/htmlTitle: strip order, entity decode, block newlines, goldens") {
+    import spark.implicits._
+    val cases = Seq(
+      // script/style content must never surface, even with '<' inside
+      ("<p>a</p><script>if(x<2){y}</script><style>b{c:d}</style><p>z</p>", "a\nz"),
+      // comments drop; block-closing tags become line breaks; inline tags a space
+      ("<h2>t</h2><!-- no --><div>x <b>y</b></div>", "t\nx y"),
+      // entity decode AFTER tag strip, &amp; LAST: &amp;lt; is the literal &lt;
+      ("a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f", "a &lt; b <c> \"d\" 'e' f"),
+      // whitespace collapses, edges trim
+      ("  <p> a\r\n  b </p>  ", "a b"),
+      ("plain text, no markup", "plain text, no markup"))
+      .toDF("html", "expect")
+    cases.select(graft.ops.TextOps.htmlToText(col("html")).as("got"), col("expect"))
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+
+    val titles = Seq(
+      ("<html><head><title>Hi &amp; bye</title></head></html>", "Hi &amp; bye"),
+      ("<TITLE class=x>Up</TITLE>", "Up"),
+      ("no title here", ""))
+      .toDF("html", "expect")
+    titles.select(graft.ops.TextOps.htmlTitle(col("html")).as("got"), col("expect"))
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
   test("piiScrub: typed placeholders, ordered application, counts agree") {
     import spark.implicits._
     val rows = Seq(
