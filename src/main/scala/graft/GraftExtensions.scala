@@ -108,6 +108,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           RegExpReplace(acc, L.create(pat), L.create(rep))
         }
       })
+    register(ext, "graft_html_to_text",
+      "graft_html_to_text(html) - text of an HTML document via the ordered " +
+        "RE2-portable strip/decode chain (TextOps.HtmlChain)", 1,
+      args => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
+        graft.ops.TextOps.HtmlChain.foldLeft(args.head) { case (acc, (pat, rep)) =>
+          RegExpReplace(acc, L.create(pat), L.create(rep))
+        }
+      })
+    register(ext, "graft_html_title",
+      "graft_html_title(html) - <title> contents ('' when absent)", 1,
+      args => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpExtract}
+        RegExpExtract(args.head, L.create("(?is)<title\\b[^>]*>(.*?)</title>"), L.create(1))
+      })
     register(ext, "graft_pii_scrub_count",
       "graft_pii_scrub_count(text) - struct<clean, n0..n4>: the PII chain " +
         "fused to one count-and-replace matcher pass per stage; n_i counts " +

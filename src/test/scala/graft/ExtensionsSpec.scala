@@ -82,6 +82,13 @@ class ExtensionsSpec extends SparkSpec {
     val e2 = graft.functions.RegexScrubCount(child,
       new graft.functions.CompiledScrubChain(graft.ops.TextOps.PiiChain))
     assert(e1.semanticEquals(e2))
+
+    // HTML chain through the SQL door agrees with the API
+    val htmlRows = spark.sql(
+      """SELECT graft_html_to_text('<p>a &amp; b</p><script>x<1</script>') AS t,
+        |       graft_html_title('<title>T</title>') AS ti""".stripMargin).head()
+    assert(htmlRows.getString(0) === "a & b")
+    assert(htmlRows.getString(1) === "T")
   }
 
   test("graft_bpe_encode is SQL-reachable, identical to the API") {
