@@ -790,6 +790,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q71_wet_serialize" -> ((s, dir) => {
+      // the WET derivative end-to-end in expression form: the q70 HTML
+      // template -> HtmlChain text extraction -> byte-exact `conversion`
+      // record (refers-to back-pointer, octet-true Content-Length) —
+      // md5 + length hash-checked like q34
+      val html = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>body{color:red}</style><script>var x=1; if(x<2){x=3;}</script></head>"),
+          lit("<body><!-- hidden comment --><h1 class=\"t\">Doc "),
+          col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+          lit("</p><div>tail &amp; more &lt;b&gt; &quot;q&quot; &#39;x&#39;&nbsp;end</div>"),
+          lit("</body></html>")).as("html"))
+      val staged = html.select(col("doc_id"),
+        TextOps.htmlToText(col("html")).as("wet_text"))
+      val rec = graft.warc.RecordSerializer.conversionRecord(
+        concat(lit("<urn:uuid:wet-"), col("doc_id").cast("string"), lit(">")),
+        lit("2023-11-14T22:13:20Z"),
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"), lit(".example/d"),
+          col("doc_id").cast("string")),
+        concat(lit("<urn:uuid:src-"), col("doc_id").cast("string"), lit(">")),
+        col("wet_text"))
+      staged.select(col("doc_id"), length(rec).cast("long").as("rec_len"),
+        md5(rec).as("rec_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q70_html_extract" -> ((s, dir) => {
       // HTML -> text + title over deterministically-templated pages: every
       // doc is wrapped in a full document with style/script blocks, a
@@ -1603,6 +1630,39 @@ object SparkEntry {
         |       coalesce(reb.n_kept, 0) AS n_kept,
         |       len(l0.ls) - coalesce(reb.n_kept, 0) AS n_dropped
         |FROM l0 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q71_wet_serialize" -> {
+      // q70's generated clean expression feeds the q34-style byte-exact
+      // record build; header order is the serializer's canonical order
+      def esc(s: String) = s.replace("'", "''")
+      val cleanExpr = graft.ops.TextOps.HtmlChain.foldLeft("html") {
+        case (acc, (p, r)) => s"regexp_replace($acc, '${esc(p)}', '${esc(r)}', 'g')"
+      }
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         '<html><head><title>Doc ' || doc_id
+         |           || '</title><style>body{color:red}</style><script>var x=1; if(x<2){x=3;}</script></head>'
+         |           || '<body><!-- hidden comment --><h1 class="t">Doc ' || doc_id
+         |           || '</h1><p>' || text
+         |           || '</p><div>tail &amp; more &lt;b&gt; &quot;q&quot; &#39;x&#39;&nbsp;end</div>'
+         |           || '</body></html>' AS html
+         |  FROM documents),
+         |w AS (SELECT doc_id, $cleanExpr AS wet_text FROM h),
+         |r AS (
+         |  SELECT doc_id,
+         |         'WARC/1.1' || chr(13)||chr(10) ||
+         |         'WARC-Date: 2023-11-14T22:13:20Z' || chr(13)||chr(10) ||
+         |         'WARC-Type: conversion' || chr(13)||chr(10) ||
+         |         'WARC-Record-ID: <urn:uuid:wet-' || doc_id || '>' || chr(13)||chr(10) ||
+         |         'Content-Length: ' || strlen(wet_text) || chr(13)||chr(10) ||
+         |         'WARC-Target-URI: http://h' || (doc_id % 7) || '.example/d' || doc_id || chr(13)||chr(10) ||
+         |         'WARC-Refers-To: <urn:uuid:src-' || doc_id || '>' || chr(13)||chr(10) ||
+         |         'Content-Type: text/plain' || chr(13)||chr(10) ||
+         |         chr(13)||chr(10) || wet_text || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+         |  FROM w)
+         |SELECT doc_id, CAST(length(rec) AS BIGINT) AS rec_len, md5(rec) AS rec_md5
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "q70_html_extract" -> {
       // the clean expression is GENERATED from TextOps.HtmlChain — the

@@ -50,6 +50,13 @@ object TrainingPipelineDemo {
       .select(col("record_id").as("doc_id"), col("content").cast("string").as("text"))
     println(s"archive scan: ${docs.count()} response records")
 
+    // 3b) WET derivative: conversion records (extracted text, refers-to
+    // back-pointers, digests recomputed by the sink) from the same archive
+    val wetDir = java.nio.file.Files.createTempDirectory("pipeline-wet").toString
+    graft.jobs.Wet.write(spark, warcDir, wetDir)
+    println(s"wet: ${spark.read.format("graft.sources.WarcDataSource").load(wetDir)
+      .filter(col("warc_type") === "conversion").count()} conversion records")
+
     // 4) dedup: exact fingerprints + near-dup pairs -> connected components
     val uniq = docs.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .withColumn("rn", row_number().over(

@@ -63,6 +63,23 @@ object RecordSerializer {
       "WARC-Target-URI" -> targetUri,
       "Content-Type" -> contentType), content)
 
+  /** `conversion` record (WARC 1.1 §6.8 — the WET derivative's type):
+    * extracted/converted content linked back to its source record via
+    * `WARC-Refers-To` (§5.7). Content-Length covers the CONVERTED content;
+    * digests, when wanted, are added by the sink over the same bytes. */
+  def conversionRecord(recordId: Column, date: Column, targetUri: Column,
+                       refersTo: Column, content: Column,
+                       contentType: Column = lit("text/plain"),
+                       version: String = "WARC/1.1"): Column =
+    serialize(lit(version), Map(
+      "WARC-Date" -> date,
+      "WARC-Type" -> lit("conversion"),
+      "WARC-Record-ID" -> recordId,
+      "Content-Length" -> octet_length(coalesce(content, lit(""))).cast("string"),
+      "WARC-Target-URI" -> targetUri,
+      "WARC-Refers-To" -> refersTo,
+      "Content-Type" -> contentType), content)
+
   /**
    * warcinfo record (K3, write.go:156-186): payload is `key: value\r\n` lines
    * of the info map, defaults per utils.go:196-199.
