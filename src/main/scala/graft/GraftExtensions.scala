@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "url_canonicalize",
       "url_canonicalize(url) - RFC 3986 canonical url_key", 1,
       args => UrlCanonicalize(args.head))
+    register(ext, "url_resolve",
+      "url_resolve(base, ref) - RFC 3986 §5.2 reference resolution (keeps " +
+        "the fragment; canonicalize separately)", 2,
+      args => graft.functions.UrlResolve(args(0), args(1)))
     register(ext, "warc_sha1_b32",
       "warc_sha1_b32(col) - sha1:BASE32 digest (gowarc default)", 1,
       args => WarcDigest(args.head, "sha1"))

@@ -790,6 +790,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q72_outlinks" -> ((s, dir) => {
+      // real link discovery over templated pages: href/src extraction
+      // (single-sourced LinkAttrPattern), non-fetchable-scheme filter,
+      // RFC 3986 §5.2 resolution against the page URI, canonicalization,
+      // per-page dedup — the operator the crawl's parseLinks mode runs.
+      // Battery per page: relative, ../ dot-segments, path-absolute,
+      // protocol-relative, query-only, fragment-only, absolute-denormalized,
+      // mailto/javascript (dropped), a duplicate, and a single-quoted src
+      val d = col("doc_id").cast("string")
+      val page = concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example/d/"), d, lit("/index.html"))
+      val html = concat(
+        lit("<html><body><a href=\"a"), d, lit(".html\">1</a><a href='../up/x"), d,
+        lit("'>2</a><a href=\"/abs/p"), d,
+        lit("\">3</a><script src=\"//cdn"), (col("doc_id") % 3).cast("string"),
+        lit(".example/lib.js\"></script><a href=\"?v="), d,
+        lit("\">5</a><a href=\"#sec\">6</a><a href=\"HTTP://EXT.Example:80/Q"), d,
+        lit("\">7</a><a href=\"mailto:u"), d,
+        lit("@x.example\">8</a><a href=\"javascript:void(0)\">9</a><a href=\"a"), d,
+        lit(".html\">dup</a><img src='img"), d, lit(".png'></body></html>"))
+      val fetched = t(s, dir, "documents").select(
+        page.as("url_key"), lit(200).as("status"), lit(1).as("priority"),
+        lit(0).as("depth"), html.as("payload"))
+      graft.fetch.Fetch.outlinksFromHtml(fetched,
+        graft.fetch.Fetch.Config(round = 1, roundEpoch = 1700000000L, parseLinks = true))
+        .select(col("via"), col("url"), col("depth").cast("long").as("depth"))
+        .orderBy("via", "url")
+    }),
+
     "q71_wet_serialize" -> ((s, dir) => {
       // the WET derivative end-to-end in expression form: the q70 HTML
       // template -> HtmlChain text extraction -> byte-exact `conversion`
@@ -1630,6 +1659,49 @@ object SparkEntry {
         |       coalesce(reb.n_kept, 0) AS n_kept,
         |       len(l0.ls) - coalesce(reb.n_kept, 0) AS n_dropped
         |FROM l0 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q72_outlinks" -> {
+      // extraction + scheme filtering are REPLAYED with the single-sourced
+      // patterns (the oracle runs the identical RE2 regexes); resolution +
+      // canonicalization expected values are constructed per battery
+      // category (q17's precedent — DuckDB has no URL functions; RFC 3986
+      // resolution itself is independently golden-tested against the §5.4
+      // spec vectors in UrlResolveSpec)
+      def esc(s: String) = s.replace("'", "''")
+      val attrPat = esc(graft.ops.TextOps.LinkAttrPattern)
+      val nonFetch = esc(graft.ops.TextOps.NonFetchableLinkPattern)
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         'http://h' || (doc_id % 7) || '.example/d/' || doc_id || '/index.html' AS via,
+         |         'http://h' || (doc_id % 7) || '.example' AS origin,
+         |         'http://h' || (doc_id % 7) || '.example/d/' || doc_id || '/' AS dir,
+         |         '<html><body><a href="a' || doc_id || '.html">1</a><a href=''../up/x' || doc_id
+         |           || '''>2</a><a href="/abs/p' || doc_id
+         |           || '">3</a><script src="//cdn' || (doc_id % 3)
+         |           || '.example/lib.js"></script><a href="?v=' || doc_id
+         |           || '">5</a><a href="#sec">6</a><a href="HTTP://EXT.Example:80/Q' || doc_id
+         |           || '">7</a><a href="mailto:u' || doc_id
+         |           || '@x.example">8</a><a href="javascript:void(0)">9</a><a href="a' || doc_id
+         |           || '.html">dup</a><img src=''img' || doc_id || '.png''></body></html>' AS html
+         |  FROM documents),
+         |refs AS (
+         |  SELECT doc_id, via, origin, dir,
+         |         unnest(list_filter(regexp_extract_all(html, '$attrPat', 1),
+         |                            r -> len(r) > 0 AND NOT regexp_matches(r, '$nonFetch'))) AS ref
+         |  FROM p)
+         |SELECT DISTINCT via,
+         |       CASE
+         |         WHEN starts_with(ref, 'HTTP://') THEN 'http://ext.example/Q' || doc_id
+         |         WHEN starts_with(ref, '//')      THEN 'http:' || ref
+         |         WHEN starts_with(ref, '/')       THEN origin || ref
+         |         WHEN starts_with(ref, '../')     THEN origin || '/d/up/x' || doc_id
+         |         WHEN starts_with(ref, '?')       THEN via || ref
+         |         WHEN ref = '#sec'                THEN via
+         |         ELSE dir || ref
+         |       END AS url,
+         |       CAST(1 AS BIGINT) AS depth
+         |FROM refs ORDER BY via, url""".stripMargin
+    },
 
     "q71_wet_serialize" -> {
       // q70's generated clean expression feeds the q34-style byte-exact

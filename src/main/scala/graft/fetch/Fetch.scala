@@ -42,7 +42,11 @@ object Fetch {
       // oversize-response guard (client.go:190-194, MaxReadBeforeTruncate
       // default 1 GB): payloads are cut at this many bytes and the response
       // row carries WARC-Truncated: length
-      maxReadBeforeTruncate: Int = 1 << 30)
+      maxReadBeforeTruncate: Int = 1 << 30,
+      // true = discover outlinks by parsing the fetched HTML payload
+      // (extract -> RFC 3986 resolve -> canonicalize); false = explode the
+      // fixture's pre-tokenized link spans
+      parseLinks: Boolean = false)
 
   val RevisitProfile = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 
@@ -74,7 +78,11 @@ object Fetch {
         joined("host") === col("__dns_host"), "left").drop("__dns_host")
       case None => joined.withColumn("ip", lit(null).cast("string"))
     }
-    val payload = SyntheticWeb.payloadExpr(col("spans"))
+    // parseLinks implies an HTML web: the fetched body must carry the links
+    // as markup for the real extractor to find
+    val payload =
+      if (cfg.parseLinks) SyntheticWeb.htmlPayloadExpr(col("spans"))
+      else SyntheticWeb.payloadExpr(col("spans"))
     joined
       .withColumn("status", when(col("doc_id").isNull, lit(404)).otherwise(lit(200)))
       .withColumn("__payload_raw", when(col("doc_id").isNull, lit("")).otherwise(payload))
@@ -270,7 +278,8 @@ object Fetch {
 
   /** Outlink extraction: the engine's generator (SURVEY §2.9) — explode link spans. */
   def outlinks(fetched: DataFrame, cfg: Config): DataFrame =
-    fetched
+    if (cfg.parseLinks) outlinksFromHtml(fetched, cfg)
+    else fetched
       .filter(col("status") === 200)
       .select(col("url_key").as("via"), col("priority"), col("depth"),
         explode(filter(col("spans"), s => s.getField("kind") === "link")).as("l"))
@@ -280,4 +289,45 @@ object Fetch {
         timestamp_seconds(lit(cfg.roundEpoch)).as("discovery_time"),
         (col("depth") + 1).cast("int").as("depth"),
         col("via"))
+
+  /** Real link discovery: parse the fetched HTML payload — extract href/src
+    * attribute values in document order, drop non-fetchable schemes
+    * (javascript:/mailto:/data:/…), resolve each against the page URI per
+    * RFC 3986 §5.2 honouring a `<base href>` when present (itself resolved
+    * against the page URI first, per HTML's base-element contract), then
+    * canonicalize into frontier url_keys. Everything is codegen expressions
+    * over the fetched frame — narrow (explode only), no shuffle; per-page
+    * `array_distinct` dedups BEFORE the explode so a nav-heavy page doesn't
+    * fan out duplicate frontier rows (the cross-page dedup belongs to the
+    * seen-set anti-join downstream). */
+  def outlinksFromHtml(fetched: DataFrame, cfg: Config): DataFrame = {
+    import graft.functions.UrlResolve.url_resolve
+    import graft.functions.UrlCanonicalize.url_canonicalize
+    fetched
+      .filter(col("status") === 200)
+      .select(col("url_key").as("via"), col("priority"), col("depth"),
+        col("url_key").as("__page"), col("payload"))
+      // stage the regex hits as attributes: each pattern runs ONCE per page
+      .withColumn("__bh", regexp_extract(col("payload"),
+        "(?i)<base\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+      .withColumn("__base",
+        when(col("__bh") === "", col("__page"))
+          .otherwise(url_resolve(col("__page"), col("__bh"))))
+      // the <base> element's own href is resolution CONTEXT, not an outlink —
+      // strip base tags before extracting
+      .withColumn("__refs", array_distinct(filter(
+        graft.ops.TextOps.extractLinks(
+          regexp_replace(col("payload"), "(?i)<base\\b[^>]*>", " ")),
+        r => r =!= "" && !r.rlike(graft.ops.TextOps.NonFetchableLinkPattern))))
+      .select(col("via"), col("priority"), col("depth"), col("__base"),
+        explode(col("__refs")).as("__ref"))
+      .select(col("via"), col("priority"), col("depth"),
+        url_canonicalize(url_resolve(col("__base"), col("__ref"))).as("url"))
+      .select(
+        col("url"),
+        least(col("priority") + 1, lit(9)).cast("int").as("priority"),
+        timestamp_seconds(lit(cfg.roundEpoch)).as("discovery_time"),
+        (col("depth") + 1).cast("int").as("depth"),
+        col("via"))
+  }
 }

@@ -132,6 +132,98 @@ object UrlCanon {
     out.mkString
   }
 
+  /** RFC 3986 appendix-B component split: (scheme, authority, path, query,
+    * fragment); `authority`/`query`/`fragment` are null when ABSENT (the
+    * present-but-empty distinction matters in §5.2.2: `?` keeps an empty
+    * query, no `?` inherits the base's). Scheme is validated per §3.1
+    * (ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )); a colon-bearing first
+    * segment that fails it (e.g. `1:2`) is path, matching strict parsers. */
+  private[functions] def splitUri(u: String): (String, String, String, String, String) = {
+    var rest = u
+    var fragment: String = null
+    val h = rest.indexOf('#')
+    if (h >= 0) { fragment = rest.substring(h + 1); rest = rest.substring(0, h) }
+    var query: String = null
+    val q = rest.indexOf('?')
+    if (q >= 0) { query = rest.substring(q + 1); rest = rest.substring(0, q) }
+    var scheme: String = null
+    val c = rest.indexOf(':')
+    if (c > 0) {
+      val cand = rest.substring(0, c)
+      val slash = rest.indexOf('/')
+      val validChars = cand.charAt(0).isLetter &&
+        cand.forall(ch => ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.')
+      if (validChars && (slash < 0 || c < slash)) { scheme = cand; rest = rest.substring(c + 1) }
+    }
+    var authority: String = null
+    if (rest.startsWith("//")) {
+      var end = rest.length
+      var i = 2
+      while (i < rest.length && end == rest.length) {
+        if (rest.charAt(i) == '/') end = i
+        i += 1
+      }
+      authority = rest.substring(2, end)
+      rest = rest.substring(end)
+    }
+    (scheme, authority, rest, query, fragment)
+  }
+
+  /** RFC 3986 §5.2.3 merge: base-with-authority-and-empty-path prefixes "/";
+    * otherwise the reference path replaces everything after the base path's
+    * last "/". */
+  private def mergePaths(baseAuth: String, basePath: String, refPath: String): String =
+    if (baseAuth != null && basePath.isEmpty) "/" + refPath
+    else {
+      val cut = basePath.lastIndexOf('/')
+      if (cut < 0) refPath else basePath.substring(0, cut + 1) + refPath
+    }
+
+  def resolve(base: UTF8String, ref: UTF8String): UTF8String =
+    UTF8String.fromString(resolve(base.toString, ref.toString))
+
+  /** RFC 3986 §5.2.2 strict reference resolution (transform references).
+    * Returns the target URI WITH any fragment — fragment stripping belongs to
+    * `canonicalize`, which is the crawl's next step. Passes every §5.4.1
+    * normal and §5.4.2 abnormal example (UrlResolveSpec). The reference
+    * engine resolves discovered links the same way before queueing
+    * (semantics per its absolute-URI reconstruction, dialer.go:863-932). */
+  def resolve(baseRaw: String, refRaw: String): String = {
+    val base = baseRaw.trim
+    val ref = refRaw.trim
+    val (rScheme, rAuth, rPath0, rQuery, rFragment) = splitUri(ref)
+    val (bScheme, bAuth, bPath, bQuery, _) = splitUri(base)
+    var tScheme: String = null; var tAuth: String = null
+    var tPath: String = null; var tQuery: String = null
+    if (rScheme != null) {
+      tScheme = rScheme; tAuth = rAuth
+      tPath = removeDotSegments(rPath0); tQuery = rQuery
+    } else {
+      if (rAuth != null) {
+        tAuth = rAuth; tPath = removeDotSegments(rPath0); tQuery = rQuery
+      } else {
+        if (rPath0.isEmpty) {
+          tPath = bPath
+          tQuery = if (rQuery != null) rQuery else bQuery
+        } else {
+          tPath =
+            if (rPath0.startsWith("/")) removeDotSegments(rPath0)
+            else removeDotSegments(mergePaths(bAuth, bPath, rPath0))
+          tQuery = rQuery
+        }
+        tAuth = bAuth
+      }
+      tScheme = bScheme
+    }
+    val sb = new java.lang.StringBuilder(base.length + ref.length)
+    if (tScheme != null) sb.append(tScheme).append(':')
+    if (tAuth != null) sb.append("//").append(tAuth)
+    sb.append(if (tPath == null) "" else tPath)
+    if (tQuery != null) sb.append('?').append(tQuery)
+    if (rFragment != null) sb.append('#').append(rFragment)
+    sb.toString
+  }
+
   /** Registrable host extraction on canonical form (cf. extract.go:160-171). */
   def hostOf(url: String): String = {
     val c = canonicalize(url)
@@ -160,4 +252,25 @@ case class UrlCanonicalize(child: Expression)
 object UrlCanonicalize {
   def url_canonicalize(c: Column): Column =
     Bridge.column(UrlCanonicalize(Bridge.expression(c)))
+}
+
+/** `url_resolve(base, ref)` — RFC 3986 §5.2 reference resolution as a
+  * whole-stage-codegen-friendly expression (the link-discovery hot path:
+  * one call per extracted href over every fetched page). */
+case class UrlResolve(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    UrlCanon.resolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"${ev.value} = graft.functions.UrlCanon.resolve($b, $r);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): UrlResolve =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "url_resolve"
+}
+
+object UrlResolve {
+  def url_resolve(base: Column, ref: Column): Column =
+    Bridge.column(UrlResolve(Bridge.expression(base), Bridge.expression(ref)))
 }

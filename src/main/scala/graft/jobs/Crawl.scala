@@ -64,6 +64,11 @@ object Crawl {
       // round-trips per round; benchmarks turn it off (outputs unchanged —
       // the counters are derivable from warc_rows afterwards).
       collectStats: Boolean = true,
+      // discover outlinks by parsing the fetched HTML payload (extract ->
+      // RFC 3986 resolve -> canonicalize) instead of exploding the
+      // fixture's pre-tokenized link spans; the fetched payload renders as
+      // HTML so the extractor has real markup to parse
+      parseLinks: Boolean = false,
       // truncate lineage each round via localCheckpoint. Without it the
       // logical plan DEEPENS every round (seen = seen ∪ new, frontier =
       // f(prev round's full DAG)) and Catalyst re-analyzes the whole history
@@ -150,7 +155,7 @@ object Crawl {
 
     while (continue && round < cfg.maxRounds) {
       val fcfg = Fetch.Config(round, cfg.baseEpoch + round, cfg.dedupSizeThreshold,
-        maxReadBeforeTruncate = cfg.maxReadBeforeTruncate)
+        maxReadBeforeTruncate = cfg.maxReadBeforeTruncate, parseLinks = cfg.parseLinks)
 
       val scheduledPlan = Scheduler.schedule(spark, frontier, seenKeys,
         if (cfg.useBloomPrefilter) filters else None,

@@ -351,6 +351,27 @@ object TextOps {
   def htmlTitle(html: Column): Column =
     regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1)
 
+  // --------------------------------------------------------- link extraction
+
+  /** href/src attribute values in document order, single-sourced into the
+    * q72 oracle. RE2-portable (inline flags, no lookaround). Documented
+    * extractor limits, same family as [[HtmlChain]]'s: the value terminates
+    * at EITHER quote character (an apostrophe inside a double-quoted URL
+    * truncates it — apostrophes are rare-but-legal in URLs), and unquoted
+    * attribute values are not extracted. */
+  val LinkAttrPattern = "(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** Non-fetchable link schemes a crawler drops before resolution (the
+    * frontier wants network-dereferenceable URIs only). Single-sourced into
+    * the q72 oracle's filter. */
+  val NonFetchableLinkPattern = "(?i)\\A(?:javascript|mailto|data|tel|about):"
+
+  /** All raw href/src values of an HTML document, in document order
+    * (array<string>; empty array when none). Pure codegen
+    * `regexp_extract_all`, narrow, no shuffle. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(LinkAttrPattern), lit(1))
+
   // ---------------------------------------------------------- PII scrubbing
 
   /** PII patterns, deliberately RE2-compatible (no lookaround, no

@@ -171,6 +171,21 @@ object SyntheticWeb {
     concat_ws("\n", transform(spans,
       s => concat_ws("|", s.getField("kind"), s.getField("text"), s.getField("media_ref"))))
 
+  /** The same spans rendered as an HTML document — the payload the crawl's
+    * `parseLinks` mode fetches, so link discovery must go through the REAL
+    * extract → RFC 3986 resolve → canonicalize path instead of exploding
+    * pre-tokenized spans. Media refs render as a `data-ref` attribute
+    * (not `src`): a `media://` pseudo-scheme is fixture plumbing, not a
+    * dereferenceable outlink, and must stay out of the frontier. */
+  def htmlPayloadExpr(spans: Column): Column =
+    concat(lit("<html><body>"), concat_ws("", transform(spans, s =>
+      when(s.getField("kind") === "link",
+        concat(lit("<a href=\""), s.getField("text"), lit("\">l</a>")))
+        .when(s.getField("kind") === "media",
+          concat(lit("<object data-ref=\""), s.getField("media_ref"), lit("\"></object>")))
+        .otherwise(concat(lit("<p>"), s.getField("text"), lit("</p>"))))),
+      lit("</body></html>"))
+
   /** Synthetic HTTP response header block (the revisit truncation target, X2). */
   def headersExpr(payload: Column): Column =
     concat(

@@ -67,6 +67,27 @@ class CrawlSpec extends SparkSpec {
     joined.unpersist(); warc.unpersist()
   }
 
+  test("parseLinks crawl ≡ span crawl at the URL level (real extractor, same frontier)") {
+    // same web, two discovery paths: exploding the fixture's pre-tokenized
+    // link spans vs parsing the HTML-rendered payload through the real
+    // extract -> RFC 3986 resolve -> canonicalize chain. URL-level outputs
+    // must be IDENTICAL (payload bytes/digests differ by construction, so
+    // run local-tier-only dedup: the remote fixture tables carry span-form
+    // digests). threshold=1 keeps dedup eligibility independent of the
+    // rendering's byte length.
+    val (pages, seeds, robots, _, _) = world(spark)
+    val base = cfg(2).copy(dedupSizeThreshold = 1)
+    val span = Crawl.run(spark, pages, seeds, Some(robots), None, None, base)
+    val html = Crawl.run(spark, pages, seeds, Some(robots), None, None,
+      base.copy(parseLinks = true))
+    def urlTypePairs(r: Crawl.Result) = r.warcRows.filter(col("seq") === 0)
+      .select("target_uri", "warc_type").orderBy("target_uri", "warc_type")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    assert(urlTypePairs(span) === urlTypePairs(html))
+    assert(span.rounds.map(s => (s.round, s.scheduled, s.responses, s.revisits)) ===
+      html.rounds.map(s => (s.round, s.scheduled, s.responses, s.revisits)))
+  }
+
   test("WARC-IP-Address: both records of a pair carry the resolved address (J5)") {
     val (pages, seeds, robots, dopp, cdx) = world(spark)
     val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(1),
