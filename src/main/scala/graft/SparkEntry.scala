@@ -819,6 +819,35 @@ object SparkEntry {
         .orderBy("via", "url")
     }),
 
+    "q73_wat_serialize" -> ((s, dir) => {
+      // the WAT derivative in expression form: templated response fields ->
+      // JSON envelope (Wat.envelope: fixed key order, jsonEscape on every
+      // free string — title carries quote/backslash/tab to exercise the
+      // chain) -> byte-exact `metadata` record, md5+length hash-checked
+      val d = col("doc_id").cast("string")
+      val env = graft.jobs.Wat.envelope(
+        concat(lit("<urn:uuid:src-"), d, lit(">")),
+        lit("2023-11-14T22:13:20Z"),
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"), lit(".example/d"), d),
+        lit(1000) + col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit(404)).otherwise(lit(200)),
+        lit("text/html; charset=\"utf-8\""),
+        concat(lit("Doc \""), d, lit("\"\t\\ end")),
+        array(concat(lit("/a"), d), concat(lit("rel"), d, lit(".html")),
+          concat(lit("HTTP://X.Example/"), d)))
+      val staged = t(s, dir, "documents").select(col("doc_id"), env.as("__env"))
+      val rec = graft.warc.RecordSerializer.metadataRecord(
+        concat(lit("<urn:uuid:wat-"), col("doc_id").cast("string"), lit(">")),
+        lit("2023-11-14T22:13:20Z"),
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"), lit(".example/d"),
+          col("doc_id").cast("string")),
+        concat(lit("<urn:uuid:src-"), col("doc_id").cast("string"), lit(">")),
+        col("__env"))
+      staged.select(col("doc_id"), length(rec).cast("long").as("rec_len"),
+        md5(rec).as("rec_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q71_wet_serialize" -> ((s, dir) => {
       // the WET derivative end-to-end in expression form: the q70 HTML
       // template -> HtmlChain text extraction -> byte-exact `conversion`
@@ -1701,6 +1730,58 @@ object SparkEntry {
          |       END AS url,
          |       CAST(1 AS BIGINT) AS depth
          |FROM refs ORDER BY via, url""".stripMargin
+    },
+
+    "q73_wat_serialize" -> {
+      // the jsonEscape fold is GENERATED from TextOps.JsonEscapeChain
+      // (literal replace(), portable by construction); envelope + record
+      // concatenation replayed byte-for-byte
+      def sqlLit(s: String): String =
+        if (s == "\n") "chr(10)" else if (s == "\r") "chr(13)"
+        else if (s == "\t") "chr(9)"
+        else "'" + s.replace("'", "''") + "'"
+      def esc(expr: String): String =
+        graft.ops.TextOps.JsonEscapeChain.foldLeft(expr) {
+          case (acc, (from, to)) => s"replace($acc, ${sqlLit(from)}, ${sqlLit(to)})"
+        }
+      val linkItem = esc("r")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         '<urn:uuid:src-' || doc_id || '>' AS rid,
+         |         'http://h' || (doc_id % 7) || '.example/d' || doc_id AS uri,
+         |         CAST(1000 + doc_id AS VARCHAR) AS clen,
+         |         CASE WHEN doc_id % 10 = 0 THEN '404' ELSE '200' END AS status,
+         |         'text/html; charset="utf-8"' AS ctype,
+         |         'Doc "' || doc_id || '"' || chr(9) || '${"\\"} end' AS title,
+         |         ['/a' || doc_id, 'rel' || doc_id || '.html',
+         |          'HTTP://X.Example/' || doc_id] AS links
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |         '{"Envelope":{"Format":"WARC","WARC-Header-Metadata":{"WARC-Record-ID":"'
+         |           || ${esc("rid")} || '","WARC-Date":"2023-11-14T22:13:20Z","WARC-Type":"response","WARC-Target-URI":"'
+         |           || ${esc("uri")} || '","Content-Length":' || clen
+         |           || '},"Payload-Metadata":{"HTTP-Response-Metadata":{"Response-Message":{"Status":' || status
+         |           || '},"Headers":{"Content-Type":"' || ${esc("ctype")}
+         |           || '"},"HTML-Metadata":{"Head":{"Title":"' || ${esc("title")}
+         |           || '"},"Links":[' || array_to_string(list_transform(links, r -> '{"url":"' || $linkItem || '"}'), ',')
+         |           || ']}}}}}' AS env,
+         |         rid, uri
+         |  FROM f),
+         |r AS (
+         |  SELECT doc_id,
+         |         'WARC/1.1' || chr(13)||chr(10) ||
+         |         'WARC-Date: 2023-11-14T22:13:20Z' || chr(13)||chr(10) ||
+         |         'WARC-Type: metadata' || chr(13)||chr(10) ||
+         |         'WARC-Record-ID: <urn:uuid:wat-' || doc_id || '>' || chr(13)||chr(10) ||
+         |         'Content-Length: ' || strlen(env) || chr(13)||chr(10) ||
+         |         'WARC-Target-URI: ' || uri || chr(13)||chr(10) ||
+         |         'WARC-Refers-To: ' || rid || chr(13)||chr(10) ||
+         |         'Content-Type: application/json' || chr(13)||chr(10) ||
+         |         chr(13)||chr(10) || env || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+         |  FROM e)
+         |SELECT doc_id, CAST(length(rec) AS BIGINT) AS rec_len, md5(rec) AS rec_md5
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     "q71_wet_serialize" -> {

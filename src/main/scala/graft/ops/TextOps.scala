@@ -372,6 +372,25 @@ object TextOps {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit(LinkAttrPattern), lit(1))
 
+  /** ORDERED literal (search, replacement) pairs that JSON-escape a string —
+    * backslash FIRST (escaping an already-minted escape would corrupt it),
+    * then quote, then the C0 whitespace controls. Literal `replace`, not
+    * regex: both engines' regexp replacement-string escaping differs, plain
+    * replace() doesn't. Other C0 controls are not escaped (documented
+    * limit: they don't occur in header-derived fields; the WatSpec
+    * parse-back via from_json is the guard). Single-sourced into the q73
+    * oracle. */
+  val JsonEscapeChain: Seq[(String, String)] = Seq(
+    "\\" -> "\\\\",
+    "\"" -> "\\\"",
+    "\n" -> "\\n",
+    "\r" -> "\\r",
+    "\t" -> "\\t")
+
+  /** JSON string-escape of a column: the [[JsonEscapeChain]] fold. */
+  def jsonEscape(c: Column): Column =
+    JsonEscapeChain.foldLeft(c) { case (acc, (s, r)) => replace(acc, lit(s), lit(r)) }
+
   // ---------------------------------------------------------- PII scrubbing
 
   /** PII patterns, deliberately RE2-compatible (no lookaround, no

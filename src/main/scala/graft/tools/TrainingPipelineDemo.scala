@@ -57,6 +57,13 @@ object TrainingPipelineDemo {
     println(s"wet: ${spark.read.format("graft.sources.WarcDataSource").load(wetDir)
       .filter(col("warc_type") === "conversion").count()} conversion records")
 
+    // 3c) WAT derivative: metadata records with the JSON envelope (WARC
+    // headers + HTTP summary + HTML head/links) from the same archive
+    val watDir = java.nio.file.Files.createTempDirectory("pipeline-wat").toString
+    graft.jobs.Wat.write(spark, warcDir, watDir)
+    println(s"wat: ${spark.read.format("graft.sources.WarcDataSource").load(watDir)
+      .filter(col("warc_type") === "metadata").count()} metadata records")
+
     // 4) dedup: exact fingerprints + near-dup pairs -> connected components
     val uniq = docs.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .withColumn("rn", row_number().over(

@@ -80,6 +80,22 @@ object RecordSerializer {
       "WARC-Refers-To" -> refersTo,
       "Content-Type" -> contentType), content)
 
+  /** `metadata` record (WARC 1.1 §6.6 — the WAT derivative's type): content
+    * ABOUT another record (here: the JSON envelope), linked via
+    * `WARC-Refers-To` like a conversion record. */
+  def metadataRecord(recordId: Column, date: Column, targetUri: Column,
+                     refersTo: Column, content: Column,
+                     contentType: Column = lit("application/json"),
+                     version: String = "WARC/1.1"): Column =
+    serialize(lit(version), Map(
+      "WARC-Date" -> date,
+      "WARC-Type" -> lit("metadata"),
+      "WARC-Record-ID" -> recordId,
+      "Content-Length" -> octet_length(coalesce(content, lit(""))).cast("string"),
+      "WARC-Target-URI" -> targetUri,
+      "WARC-Refers-To" -> refersTo,
+      "Content-Type" -> contentType), content)
+
   /**
    * warcinfo record (K3, write.go:156-186): payload is `key: value\r\n` lines
    * of the info map, defaults per utils.go:196-199.
