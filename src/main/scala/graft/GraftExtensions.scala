@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "url_canonicalize",
       "url_canonicalize(url) - RFC 3986 canonical url_key", 1,
       args => UrlCanonicalize(args.head))
+    register(ext, "surt_key",
+      "surt_key(url) - sort-friendly CDX url key (reversed host labels)", 1,
+      args => graft.functions.SurtKey(args.head))
     register(ext, "url_resolve",
       "url_resolve(base, ref) - RFC 3986 §5.2 reference resolution (keeps " +
         "the fragment; canonicalize separately)", 2,

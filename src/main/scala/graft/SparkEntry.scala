@@ -819,6 +819,36 @@ object SparkEntry {
         .orderBy("via", "url")
     }),
 
+    "q74_cdx_line" -> ((s, dir) => {
+      // CDX index-line construction over denormalized capture fields: SURT
+      // url key (surt_key expression: canonicalize -> reversed host labels,
+      // default-port elision, dot-segment removal all exercised), 14-digit
+      // timestamp as a pure string transform, MIME parameter strip, and the
+      // classic 11-field line; oracle constructs the expected key per q17's
+      // precedent (SURT goldens live in CdxIndexSpec)
+      import graft.functions.SurtKey.surt_key
+      val d = col("doc_id").cast("string")
+      val url = concat(lit("HTTP://WWW.Host"), (col("doc_id") % 20).cast("string"),
+        lit(".EXAMPLE"), when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":8080")),
+        lit("/A"), d, lit("/../p"), d, lit("?x="), d)
+      val mime = lit("text/html; charset=utf-8")
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        surt_key(url).as("urlkey"),
+        regexp_replace(lit("2023-11-14T22:13:20Z"), "[-:TZ]", "").as("ts"),
+        url.as("original"),
+        trim(regexp_extract(mime, "^[^;]*", 0)).as("mimetype"),
+        when(col("doc_id") % 10 === 0, lit("404")).otherwise(lit("200")).as("statuscode"),
+        concat(lit("sha1:"), upper(md5(d))).as("digest"),
+        (lit(1000) + col("doc_id")).cast("string").as("length"),
+        (col("doc_id") * lit(2048)).cast("string").as("offset"),
+        concat(lit("GRAFT-"), lpad(d, 5, "0"), lit(".warc.gz")).as("filename"))
+      staged.select(col("doc_id"), col("urlkey"),
+        concat_ws(" ", col("urlkey"), col("ts"), col("original"), col("mimetype"),
+          col("statuscode"), col("digest"), lit("-"), lit("-"),
+          col("length"), col("offset"), col("filename")).as("cdx_line"))
+        .orderBy("doc_id")
+    }),
+
     "q73_wat_serialize" -> ((s, dir) => {
       // the WAT derivative in expression form: templated response fields ->
       // JSON envelope (Wat.envelope: fixed key order, jsonEscape on every
@@ -1730,6 +1760,29 @@ object SparkEntry {
          |       END AS url,
          |       CAST(1 AS BIGINT) AS depth
          |FROM refs ORDER BY via, url""".stripMargin
+    },
+
+    "q74_cdx_line" -> {
+      // expected SURT key constructed: lowercase host reversed comma-joined,
+      // :80 elided / :8080 kept, /A<d>/../p<d> collapses to /p<d>
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         'example,host' || (doc_id % 20) || ',www'
+        |           || CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END
+        |           || ')/p' || doc_id || '?x=' || doc_id AS urlkey,
+        |         'HTTP://WWW.Host' || (doc_id % 20) || '.EXAMPLE'
+        |           || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':8080' END
+        |           || '/A' || doc_id || '/../p' || doc_id || '?x=' || doc_id AS original,
+        |         CASE WHEN doc_id % 10 = 0 THEN '404' ELSE '200' END AS statuscode,
+        |         'sha1:' || upper(md5(CAST(doc_id AS VARCHAR))) AS digest,
+        |         CAST(1000 + doc_id AS VARCHAR) AS length,
+        |         CAST(doc_id * 2048 AS VARCHAR) AS "offset",
+        |         'GRAFT-' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.warc.gz' AS filename
+        |  FROM documents)
+        |SELECT doc_id, urlkey,
+        |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
+        |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
+        |FROM f ORDER BY doc_id""".stripMargin
     },
 
     "q73_wat_serialize" -> {

@@ -224,6 +224,44 @@ object UrlCanon {
     sb.toString
   }
 
+  def surt(u: UTF8String): UTF8String = UTF8String.fromString(surt(u.toString))
+
+  /** SURT key (Sort-friendly URI Reordering Transform, the Internet
+    * Archive's public CDX url-key convention): canonicalize, drop the
+    * scheme + userinfo, reverse the host labels comma-joined (so one
+    * registrable domain's URLs sort contiguously — the property a 100 TB
+    * sorted CDX index needs), keep a non-default port, then `)` + path +
+    * query. IPv4 and bracketed IPv6 literals are not label-reversed (the
+    * public surt library's convention). `http://www.example.com/p?q=1` →
+    * `com,example,www)/p?q=1`. */
+  def surt(raw: String): String = {
+    val c = canonicalize(raw)
+    val s = c.indexOf("://")
+    if (s < 0) return c
+    val rest = c.substring(s + 3)
+    val slash = rest.indexOf('/')
+    val auth = if (slash >= 0) rest.substring(0, slash) else rest
+    val pathq = if (slash >= 0) rest.substring(slash) else "/"
+    val noUser = { val u = auth.lastIndexOf('@'); if (u >= 0) auth.substring(u + 1) else auth }
+    val (host, port) =
+      if (noUser.startsWith("[")) {
+        val close = noUser.indexOf(']')
+        if (close >= 0 && close + 1 < noUser.length && noUser.charAt(close + 1) == ':')
+          (noUser.substring(0, close + 1), noUser.substring(close + 1))
+        else (noUser, "")
+      } else {
+        val colon = noUser.lastIndexOf(':')
+        if (colon >= 0) (noUser.substring(0, colon), noUser.substring(colon))
+        else (noUser, "")
+      }
+    val isIpv4 = host.nonEmpty && host.forall(ch => ch.isDigit || ch == '.') &&
+      host.count(_ == '.') == 3
+    val key =
+      if (isIpv4 || host.startsWith("[")) host
+      else host.split('.').reverse.mkString(",")
+    key + port + ")" + pathq
+  }
+
   /** Registrable host extraction on canonical form (cf. extract.go:160-171). */
   def hostOf(url: String): String = {
     val c = canonicalize(url)
@@ -273,4 +311,19 @@ case class UrlResolve(left: Expression, right: Expression)
 object UrlResolve {
   def url_resolve(base: Column, ref: Column): Column =
     Bridge.column(UrlResolve(Bridge.expression(base), Bridge.expression(ref)))
+}
+
+/** `surt_key(url)` — the sort-friendly CDX url key as a codegen expression. */
+case class SurtKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = UrlCanon.surt(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.UrlCanon.surt($c);")
+  override protected def withNewChildInternal(newChild: Expression): SurtKey =
+    copy(child = newChild)
+  override def prettyName: String = "surt_key"
+}
+
+object SurtKey {
+  def surt_key(c: Column): Column = Bridge.column(SurtKey(Bridge.expression(c)))
 }

@@ -1,0 +1,69 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SurtKey.surt_key
+
+/**
+ * CDX index generation — the archive's replay/lookup index (the classic
+ * 11-field ` CDX N b a m s k r M S V g` line format the reference's CDX
+ * dedup tier consumes, dedupe.go:52-94; this job is the PRODUCER side: a
+ * crawl's output indexed so the next crawl — or a wayback — can look it up).
+ * One line per captured record: SURT url key, 14-digit timestamp, original
+ * URI, MIME (parameters stripped), HTTP status, payload digest, compressed
+ * member length + offset, and source filename. Offsets come from the
+ * byte-counting reader's member coordinates (`member_offset`/`member_size`,
+ * read.go:319-341) — CdxIndexSpec proves them by RANDOM-ACCESS re-reading
+ * every indexed member and matching the record inside.
+ *
+ * Scale shape: scan → narrow line construction → ONE range-partitioned sort
+ * (a CDX index is sorted by definition — binary-searchable without a
+ * database). No other shuffle. The timestamp is a pure string transform of
+ * the ISO date (timezone-proof), never a session-zone parse.
+ */
+object CdxIndex {
+
+  /** Indexable capture types (requests/metadata/warcinfo are not replayed). */
+  private val Indexed = Seq("response", "revisit", "resource")
+
+  /** One sorted line per captured record under `warcDir`, as columns
+    * (urlkey..filename) plus the assembled `cdx_line`. */
+  def lines(spark: SparkSession, warcDir: String): DataFrame = {
+    val recs = spark.read.format("graft.sources.WarcDataSource").load(warcDir)
+      .filter(col("warc_type").isin(Indexed: _*))
+    val rawStr = col("content").cast("string")
+    val httpMime = regexp_extract(
+      graft.warc.HttpExprs.parseHttpHeader(rawStr, "Content-Type"), "^[^;]*", 0)
+    val recMime = regexp_extract(
+      coalesce(element_at(col("headers"), "content-type"), lit("")), "^[^;]*", 0)
+    val staged = recs.select(
+      surt_key(col("target_uri")).as("urlkey"),
+      regexp_replace(col("warc_date"), "[-:TZ]", "").as("timestamp"),
+      col("target_uri").as("original"),
+      coalesce(nullif(trim(httpMime), lit("")), nullif(trim(recMime), lit("")),
+        lit("-")).as("mimetype"),
+      coalesce(graft.warc.HttpExprs.parseStatus(rawStr).cast("string"), lit("-"))
+        .as("statuscode"),
+      coalesce(nullif(col("payload_digest"), lit("")), lit("-")).as("digest"),
+      when(col("member_size") >= 0, col("member_size").cast("string")).otherwise(lit("-"))
+        .as("length"),
+      when(col("member_offset") >= 0, col("member_offset").cast("string")).otherwise(lit("-"))
+        .as("offset"),
+      regexp_extract(col("source_file"), "[^/]+$", 0).as("filename"))
+    staged
+      .withColumn("cdx_line", concat_ws(" ",
+        col("urlkey"), col("timestamp"), col("original"), col("mimetype"),
+        col("statuscode"), col("digest"), lit("-"), lit("-"),
+        col("length"), col("offset"), col("filename")))
+      // the sorted-index contract: range partition + in-partition sort, the
+      // 1000-executor shape (a single-partition orderBy would serialize)
+      .repartitionByRange(col("urlkey"), col("timestamp"))
+      .sortWithinPartitions("urlkey", "timestamp")
+  }
+
+  /** Write the sorted index as text part-files (` CDX N b a m s k r M S V g`
+    * header convention is the consumer's to prepend; parts stay mergeable). */
+  def write(spark: SparkSession, warcDir: String, outDir: String): Unit =
+    lines(spark, warcDir).select("cdx_line").write.mode("overwrite").text(outDir)
+}

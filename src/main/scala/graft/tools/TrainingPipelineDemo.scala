@@ -64,6 +64,12 @@ object TrainingPipelineDemo {
     println(s"wat: ${spark.read.format("graft.sources.WarcDataSource").load(watDir)
       .filter(col("warc_type") === "metadata").count()} metadata records")
 
+    // 3d) CDX index: the replay/lookup index over the same archive (sorted
+    // SURT keys + member offsets — what the next crawl's CDX tier consumes)
+    val cdxDir = java.nio.file.Files.createTempDirectory("pipeline-cdx").toString
+    graft.jobs.CdxIndex.write(spark, warcDir, cdxDir)
+    println(s"cdx: ${spark.read.text(cdxDir).count()} index lines")
+
     // 4) dedup: exact fingerprints + near-dup pairs -> connected components
     val uniq = docs.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .withColumn("rn", row_number().over(
