@@ -849,6 +849,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q75_cdx_nearest" -> ((s, dir) => {
+      // wayback-style nearest-capture lookup (CdxIndex.nearestCaptures, the
+      // query side of the q74 index): index synthesized from documents (one
+      // capture per doc, 37 host groups), one target per group; numeric-
+      // nearest with the earlier-wins tie-break, which the oracle replays as
+      // row_number(ORDER BY diff, ts). Exercises the surt_key bridge on the
+      // target side and the map-side-combinable min(struct) pick (no window
+      // over the capture history — hot URLs stay parallel at 100 TB).
+      val g = (col("doc_id") % 37).cast("string")
+      val d = col("doc_id").cast("string")
+      val index = t(s, dir, "documents").select(
+        concat(lit("example,h"), g, lit(")/p")).as("urlkey"),
+        (lit(20200101000000L) + col("doc_id") * 7).cast("string").as("timestamp"),
+        concat(lit("http://h"), g, lit(".example/p?v="), d).as("original"),
+        lit("text/html").as("mimetype"),
+        when(col("doc_id") % 9 === 0, lit("404")).otherwise(lit("200")).as("statuscode"),
+        concat(lit("sha1:"), upper(md5(d))).as("digest"),
+        (lit(500) + col("doc_id")).cast("string").as("length"),
+        (col("doc_id") * lit(1024)).cast("string").as("offset"),
+        concat(lit("GRAFT-"), lpad(g, 5, "0"), lit(".warc.gz")).as("filename"))
+      val targets = t(s, dir, "documents")
+        .select((col("doc_id") % 37).as("grp")).distinct()
+        .select(concat(lit("http://h"), col("grp").cast("string"),
+          lit(".example/p")).as("url"),
+          (lit(20200101000000L) + col("grp") * 123 + 50).as("ts"))
+      graft.jobs.CdxIndex.nearestCaptures(index, targets).orderBy("urlkey")
+    }),
+
     "q73_wat_serialize" -> ((s, dir) => {
       // the WAT derivative in expression form: templated response fields ->
       // JSON envelope (Wat.envelope: fixed key order, jsonEscape on every
@@ -1783,6 +1811,30 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q75_cdx_nearest" -> {
+      // the earlier-wins nearest pick as row_number(diff, ts); capture and
+      // target construction mirrored field-for-field
+      """WITH caps AS (
+        |  SELECT doc_id % 37 AS grp,
+        |         'example,h' || (doc_id % 37) || ')/p' AS urlkey,
+        |         20200101000000 + doc_id * 7 AS ts,
+        |         'http://h' || (doc_id % 37) || '.example/p?v=' || doc_id AS original,
+        |         CASE WHEN doc_id % 9 = 0 THEN '404' ELSE '200' END AS statuscode,
+        |         'sha1:' || upper(md5(CAST(doc_id AS VARCHAR))) AS digest,
+        |         CAST(500 + doc_id AS VARCHAR) AS length,
+        |         CAST(doc_id * 1024 AS VARCHAR) AS "offset",
+        |         'GRAFT-' || lpad(CAST(doc_id % 37 AS VARCHAR), 5, '0') || '.warc.gz' AS filename
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, 20200101000000 + grp * 123 + 50 AS target_ts,
+        |         row_number() OVER (PARTITION BY grp
+        |           ORDER BY abs(ts - (20200101000000 + grp * 123 + 50)), ts) AS rn
+        |  FROM caps)
+        |SELECT urlkey, target_ts, ts AS capture_ts, original, statuscode, digest,
+        |       length, "offset", filename
+        |FROM ranked WHERE rn = 1 ORDER BY urlkey""".stripMargin
     },
 
     "q73_wat_serialize" -> {

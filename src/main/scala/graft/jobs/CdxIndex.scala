@@ -66,4 +66,46 @@ object CdxIndex {
     * header convention is the consumer's to prepend; parts stay mergeable). */
   def write(spark: SparkSession, warcDir: String, outDir: String): Unit =
     lines(spark, warcDir).select("cdx_line").write.mode("overwrite").text(outDir)
+
+  /** Parse written CDX text lines back into the 11 columns (the inverse of
+    * the `cdx_line` assembly; fields are space-free by construction). */
+  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val f = split(col(lineCol), " ")
+    lines.select(
+      f.getItem(0).as("urlkey"), f.getItem(1).as("timestamp"),
+      f.getItem(2).as("original"), f.getItem(3).as("mimetype"),
+      f.getItem(4).as("statuscode"), f.getItem(5).as("digest"),
+      f.getItem(8).as("length"), f.getItem(9).as("offset"),
+      f.getItem(10).as("filename"))
+  }
+
+  /** Wayback-style nearest-capture lookup — the index's query side: for each
+    * target `(url, ts)` (ts = 14-digit capture timestamp), the capture of
+    * that SURT key numerically closest in time; the EARLIER capture wins a
+    * tie (deterministic). `index` is the parsed/columnar index (from
+    * [[lines]] or [[parse]]); targets are a lookup batch.
+    *
+    * Scale shape: the lookup batch is tiny next to a 100 TB index, so the
+    * targets side is broadcast — the index never shuffles. The per-key pick
+    * is `min(struct(diff, ts, …))`, a map-side-combinable aggregate (partial
+    * min per scan task), NEVER a window over the capture history — one hot
+    * URL with 10⁸ captures stays parallel. */
+  def nearestCaptures(index: DataFrame, targets: DataFrame,
+                      urlCol: String = "url", tsCol: String = "ts"): DataFrame = {
+    val t = org.apache.spark.sql.functions.broadcast(
+      targets.select(surt_key(col(urlCol)).as("urlkey"),
+        col(tsCol).cast("long").as("target_ts")))
+    index.join(t, Seq("urlkey"))
+      .groupBy(col("urlkey"), col("target_ts"))
+      .agg(min(struct(
+        abs(col("timestamp").cast("long") - col("target_ts")).as("diff"),
+        col("timestamp").cast("long").as("ts"),
+        col("original"), col("mimetype"), col("statuscode"), col("digest"),
+        col("length"), col("offset"), col("filename"))).as("best"))
+      .select(col("urlkey"), col("target_ts"),
+        col("best.ts").as("capture_ts"), col("best.original").as("original"),
+        col("best.statuscode").as("statuscode"), col("best.digest").as("digest"),
+        col("best.length").as("length"), col("best.offset").as("offset"),
+        col("best.filename").as("filename"))
+  }
 }

@@ -69,6 +69,12 @@ object TrainingPipelineDemo {
     val cdxDir = java.nio.file.Files.createTempDirectory("pipeline-cdx").toString
     graft.jobs.CdxIndex.write(spark, warcDir, cdxDir)
     println(s"cdx: ${spark.read.text(cdxDir).count()} index lines")
+    // ... and the query side: replay the index through a nearest-capture lookup
+    val cdxParsed = graft.jobs.CdxIndex.parse(spark.read.text(cdxDir))
+    val lookups = cdxParsed.select(col("original").as("url"),
+      (col("timestamp").cast("long") + 5).as("ts")).limit(5)
+    println(s"cdx lookup: ${graft.jobs.CdxIndex.nearestCaptures(cdxParsed, lookups).count()} " +
+      "nearest captures resolved")
 
     // 4) dedup: exact fingerprints + near-dup pairs -> connected components
     val uniq = docs.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))

@@ -83,4 +83,51 @@ class CdxIndexSpec extends SparkSpec {
     }
     idx.unpersist()
   }
+
+  test("nearest-capture lookup: parse round-trip, numeric-nearest pick, earlier-wins tie") {
+    import spark.implicits._
+    // 3 captures per url at ts ...20, ...40, ...41 (seconds field)
+    val caps = spark.range(15).select(
+      lit("WARC/1.1").as("version"),
+      map(
+        lit("WARC-Record-ID"), concat(lit("<urn:uuid:c"), col("id").cast("string"), lit(">")),
+        lit("WARC-Type"), lit("response"),
+        lit("WARC-Target-URI"), concat(lit("http://h"), (col("id") % 5).cast("string"),
+          lit(".example/p")),
+        lit("WARC-Date"), concat(lit("2023-11-14T22:13:"),
+          element_at(array(lit("20"), lit("40"), lit("41")),
+            floor(col("id") / 5).cast("int") + 1), lit("Z"))).as("headers"),
+      concat(lit("HTTP/1.1 200 OK\r\n\r\nv"), col("id").cast("string"))
+        .cast("binary").as("content"))
+    val warcDir = Files.createTempDirectory("cdx-look-src").toString
+    val idxDir = Files.createTempDirectory("cdx-look-idx").toString
+    WarcSink.write(caps, warcDir, gzip = true)
+    graft.jobs.CdxIndex.write(spark, warcDir, idxDir)
+
+    val parsed = graft.jobs.CdxIndex.parse(spark.read.text(idxDir))
+    assert(parsed.count() === 15)
+    // target 22:13:41 -> exact hit on the :41 capture; target 22:13:30 is
+    // equidistant to :20 and :40 -> earlier (:20) must win
+    val targets = Seq(
+      ("http://h1.example/p", 20231114221341L),
+      ("http://h2.example/p", 20231114221330L)).toDF("url", "ts")
+    val got = graft.jobs.CdxIndex.nearestCaptures(parsed, targets)
+      .select("urlkey", "capture_ts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("example,h1)/p") === 20231114221341L)
+    assert(got("example,h2)/p") === 20231114221320L)
+
+    // random access through the LOOKUP result: the picked member replays
+    val hit = graft.jobs.CdxIndex.nearestCaptures(parsed, targets)
+      .filter(col("urlkey") === "example,h1)/p").collect().head
+    val file = Files.list(Paths.get(warcDir))
+      .filter(_.getFileName.toString == hit.getAs[String]("filename")).findFirst().orElseThrow()
+    val all = Files.readAllBytes(file)
+    val off = hit.getAs[String]("offset").toLong.toInt
+    val len = hit.getAs[String]("length").toLong.toInt
+    val text = new String(new GZIPInputStream(new java.io.ByteArrayInputStream(
+      java.util.Arrays.copyOfRange(all, off, off + len))).readAllBytes(), "UTF-8")
+    assert(text.contains("WARC-Target-URI: http://h1.example/p"))
+    assert(text.contains("WARC-Date: 2023-11-14T22:13:41Z"))
+  }
 }
