@@ -877,6 +877,24 @@ object SparkEntry {
       graft.jobs.CdxIndex.nearestCaptures(index, targets).orderBy("urlkey")
     }),
 
+    "q76_pagerank" -> ((s, dir) => {
+      // host-graph PageRank (GraphOps.pageRank: the crawl-prioritization
+      // signal) on a 41-host synthetic link graph, 4 power iterations,
+      // damping 0.5 (exactly representable — the (1-d) constant is then
+      // bit-identical across engines; float sum order still differs at
+      // ~1e-16 so ranks are quantized to 6 decimals on both sides). The
+      // oracle unrolls the iterations as chained CTEs.
+      val docs = t(s, dir, "documents")
+      val edges = docs.select((col("doc_id") % 41).as("src"),
+          ((col("doc_id") * 7 + 3) % 41).as("dst"))
+        .union(docs.select((col("doc_id") % 41).as("src"),
+          ((col("doc_id") * 13 + 5) % 41).as("dst")))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst",
+          iterations = 4, damping = 0.5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     "q73_wat_serialize" -> ((s, dir) => {
       // the WAT derivative in expression form: templated response fields ->
       // JSON envelope (Wat.envelope: fixed key order, jsonEscape on every
@@ -1811,6 +1829,40 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q76_pagerank" -> {
+      // 4 unrolled power iterations, same simplified formulation (dangling
+      // mass dropped, self-loops kept, parallel edges collapsed by DISTINCT)
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 41 AS src, (doc_id * 7 + 3) % 41 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 41, (doc_id * 13 + 5) % 41 FROM documents)),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        |r1 AS (SELECT n.node, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * coalesce(i.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+        |         FROM e JOIN deg USING (src) JOIN r0 r ON r.node = e.src
+        |         GROUP BY e.dst) i ON n.node = i.node),
+        |r2 AS (SELECT n.node, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * coalesce(i.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+        |         FROM e JOIN deg USING (src) JOIN r1 r ON r.node = e.src
+        |         GROUP BY e.dst) i ON n.node = i.node),
+        |r3 AS (SELECT n.node, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * coalesce(i.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+        |         FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src
+        |         GROUP BY e.dst) i ON n.node = i.node),
+        |r4 AS (SELECT n.node, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * coalesce(i.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+        |         FROM e JOIN deg USING (src) JOIN r3 r ON r.node = e.src
+        |         GROUP BY e.dst) i ON n.node = i.node)
+        |SELECT node, round(rank, 6) AS rank FROM r4 ORDER BY node""".stripMargin
     },
 
     "q75_cdx_nearest" -> {

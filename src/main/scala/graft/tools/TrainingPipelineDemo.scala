@@ -76,6 +76,17 @@ object TrainingPipelineDemo {
     println(s"cdx lookup: ${graft.jobs.CdxIndex.nearestCaptures(cdxParsed, lookups).count()} " +
       "nearest captures resolved")
 
+    // 3e) link graph: page outlinks -> host edges -> PageRank (the
+    // crawl-prioritization signal for the next round's frontier ordering)
+    val pageLinks = SyntheticWeb.pages(spark, n).select(col("url").as("src_url"),
+      explode(transform(filter(col("spans"), s => s.getField("kind") === "link"),
+        s => s.getField("text"))).as("dst_url"))
+    val hostRanks = graft.ops.GraphOps.pageRank(
+      graft.ops.GraphOps.hostEdges(pageLinks, "src_url", "dst_url"), "src", "dst",
+      iterations = 5)
+    val top = hostRanks.orderBy(desc("rank")).limit(1).collect().head
+    println(f"pagerank: ${hostRanks.count()} hosts ranked, top=${top.getString(0)}@${top.getDouble(1)}%.3f")
+
     // 4) dedup: exact fingerprints + near-dup pairs -> connected components
     val uniq = docs.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .withColumn("rn", row_number().over(

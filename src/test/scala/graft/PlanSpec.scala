@@ -138,6 +138,19 @@ class PlanSpec extends SparkSpec {
       "scan not pruned:\n" + plan.take(1200))
   }
 
+  test("q75/q76: CDX lookup broadcasts targets; PageRank has no window and reuses the cached edges") {
+    val look = planOf("q75_cdx_nearest")
+    assert(look.contains("BroadcastHashJoin"),
+      "lookup targets must broadcast (the index side never shuffles for the join):\n" + look.take(1500))
+    assert(look.contains("partial_min"),
+      "nearest pick must be a map-side-combinable min, not a window:\n" + look.take(1200))
+    assert(!look.contains("Window"), "lookup regressed to a window:\n" + look.take(1200))
+    val pr = planOf("q76_pagerank")
+    assert(!pr.contains("Window"), "pageRank must not use windows:\n" + pr.take(1200))
+    assert(pr.contains("InMemoryTableScan"),
+      "pageRank iterations must reuse the persisted degree-joined edges:\n" + pr.take(1200))
+  }
+
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
     val plan = planOf("q02_agg_returnflag")
     assert(plan.contains("partial_sum"), "no map-side partial agg:\n" + plan.take(1200))
