@@ -895,6 +895,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q77_domain_cap" -> ((s, dir) => {
+      // per-domain frequency cap (PipelineOps.capPerKey): 23 synthetic
+      // domains over documents, cap 5 — exact via the bounded kth-smallest
+      // aggregate (partial state <= k coins per task; never a rank window,
+      // so a hot domain stays parallel); the oracle replays the cap in its
+      // row_number form over the IDENTICAL md5 coin
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 23).as("domain"))
+      graft.ops.PipelineOps.capPerKey(docs, "domain", "doc_id", 5, seed = "graft")
+        .select("doc_id", "domain").orderBy("doc_id")
+    }),
+
     "q73_wat_serialize" -> ((s, dir) => {
       // the WAT derivative in expression form: templated response fields ->
       // JSON envelope (Wat.envelope: fixed key order, jsonEscape on every
@@ -1829,6 +1841,15 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q77_domain_cap" -> {
+      // the cap's row_number twin over the identical md5('graft|'||id) coin
+      """SELECT doc_id, domain FROM (
+        |  SELECT doc_id, doc_id % 23 AS domain,
+        |         row_number() OVER (PARTITION BY doc_id % 23
+        |           ORDER BY md5('graft|' || doc_id), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY doc_id""".stripMargin
     },
 
     "q76_pagerank" -> {

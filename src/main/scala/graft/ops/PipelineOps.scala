@@ -320,4 +320,35 @@ object PipelineOps {
       .withColumn("contaminated", coalesce(col("__contam_flag"), lit(false)))
       .drop(joinId, "__contam_flag")
   }
+
+  /**
+   * Per-key frequency cap (the RefinedWeb-style "keep at most N pages per
+   * domain" rule): keeps at most `maxPerKey` rows per key, chosen
+   * deterministically by the md5-uniform coin over `seed|id` — reproducible
+   * across runs and engines, and independent of input order.
+   *
+   * Exactness without the skew hazard: `row_number() OVER (PARTITION BY
+   * key)` would serialize a hot domain's rows into one window partition
+   * (the chunkDedup lesson); instead the per-key keep-threshold is computed
+   * by the bounded kth-smallest aggregate ([[graft.functions.KthSmallestAgg]]
+   * — partial state ≤ k coins per task regardless of key heat), and rows
+   * keep iff `coin <= threshold`. Coins are unique (md5 over unique ids),
+   * so over-cap keys keep exactly `maxPerKey` rows; under-cap keys keep all
+   * (their threshold is the group max).
+   */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, maxPerKey: Int,
+                seed: String = "graft"): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    val reserved = Seq("__cap_coin", "__cap_thr").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"capPerKey: input already has reserved column(s) ${reserved.mkString(", ")}")
+    val coined = df.withColumn("__cap_coin",
+      md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+    val thresholds = coined.groupBy(col(keyCol))
+      .agg(graft.functions.KthSmallestAgg
+        .kth_smallest_agg(col("__cap_coin"), maxPerKey).as("__cap_thr"))
+    coined.join(thresholds, Seq(keyCol))
+      .filter(col("__cap_coin") <= col("__cap_thr"))
+      .drop("__cap_coin", "__cap_thr")
+  }
 }

@@ -541,4 +541,43 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__lm_id"))
   }
+
+  test("capPerKey: exact cap, window-reference equality, partition independence") {
+    import spark.implicits._
+    // skewed keys: key 0 holds 60 of 100 rows, key 1 holds 30, others tiny
+    val rows = (0L until 100L).map { i =>
+      val k = if (i < 60) 0L else if (i < 90) 1L else i % 5 + 2
+      (i, k)
+    }
+    val df = rows.toDF("id", "domain")
+    val capped = PipelineOps.capPerKey(df, "domain", "id", 7, seed = "s1")
+    val byKey = capped.groupBy("domain").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey(0L) === 7L && byKey(1L) === 7L)        // over-cap: exactly k
+    assert((2L to 6L).forall(k => byKey(k) === rows.count(_._2 == k).toLong)) // under-cap: all
+
+    // equality with the windowed reference on the same coin
+    val coin = md5(concat_ws("|", lit("s1"), col("id").cast("string")))
+    val ref = df.withColumn("__c", coin)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("__c"), col("id"))))
+      .filter(col("rn") <= 7).select("id").as[Long].collect().toSet
+    assert(capped.select("id").as[Long].collect().toSet === ref)
+
+    // merge path: many input partitions -> same answer (partial states merge)
+    val capped16 = PipelineOps.capPerKey(df.repartition(16), "domain", "id", 7, seed = "s1")
+    assert(capped16.select("id").as[Long].collect().toSet === ref)
+  }
+
+  test("capPerKey: reserved-column guard and k=1") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L, "x")).toDF("id", "domain", "__cap_coin")
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.capPerKey(bad, "domain", "id", 3)
+    }
+    assert(e.getMessage.contains("__cap_coin"))
+    val one = PipelineOps.capPerKey(
+      (0L until 20L).map(i => (i, i % 3)).toDF("id", "domain"), "domain", "id", 1)
+    assert(one.count() === 3)
+  }
 }

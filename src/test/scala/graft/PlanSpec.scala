@@ -151,6 +151,13 @@ class PlanSpec extends SparkSpec {
       "pageRank iterations must reuse the persisted degree-joined edges:\n" + pr.take(1200))
   }
 
+  test("q77: domain cap is a partial bounded aggregate, never a rank window") {
+    val plan = planOf("q77_domain_cap")
+    assert(!plan.contains("Window"), "cap regressed to a window:\n" + plan.take(1200))
+    assert(plan.contains("partial_kth_smallest_agg"),
+      "threshold must partial-aggregate map-side (<= k coins per task):\n" + plan.take(1200))
+  }
+
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
     val plan = planOf("q02_agg_returnflag")
     assert(plan.contains("partial_sum"), "no map-side partial agg:\n" + plan.take(1200))
