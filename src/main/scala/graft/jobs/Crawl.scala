@@ -101,7 +101,11 @@ object Crawl {
           cdx: Option[DataFrame],
           cfg: Config,
           store: Option[SnapshotStore] = None,
-          dns: Option[DataFrame] = None): Result = {
+          dns: Option[DataFrame] = None,
+          // rank-ordered frontier (OPIC/PageRank prioritization): host scores
+          // (node, rank) — typically GraphOps.pageRank over a previous
+          // crawl's link graph — applied to every round's discovered links
+          hostRanks: Option[DataFrame] = None): Result = {
 
     // resume from the last committed snapshot when a store is present
     val resumed = store.flatMap(s => s.latest)
@@ -238,7 +242,9 @@ object Crawl {
         seenKeys = seenKeys.unionByName(newSeen)
         digestSeen = digestSeen.unionByName(newDigests.select(
           col("payload_digest"), col("record_id"), col("target_uri"), col("warc_date"), col("size")))
-        frontier = links
+        frontier = hostRanks
+          .map(r => graft.ops.GraphOps.rankPriorities(links, "url", r))
+          .getOrElse(links)
         if (cfg.checkpointState && store.isEmpty) {
           // four independent state materializations (the merged filter
           // checkpoint also truncates the union-groupBy lineage chain across

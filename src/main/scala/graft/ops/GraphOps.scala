@@ -33,6 +33,29 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
 
+  /** Rank-informed frontier priorities: a discovered URL's priority becomes
+    * `max(0, maxPriority − floor(log2(1 + rank)))` of its host's PageRank —
+    * log-bucketing, so hub hosts fetch first (lower = better, the
+    * scheduler's order) and the score→priority mapping is a pure per-row
+    * map: no global sort and no partition-less ntile window over the host
+    * table. Unranked hosts keep their existing priority. Ranks broadcast
+    * (the host dimension is small next to the frontier). */
+  def rankPriorities(frontier: DataFrame, urlCol: String, hostRanks: DataFrame,
+                     maxPriority: Int = 9): DataFrame = {
+    val ranks = broadcast(hostRanks.select(
+      col("node").as("__pr_host"), col("rank").as("__pr")))
+    frontier
+      .withColumn("__pr_host", parse_url(url_canonicalize(col(urlCol)), lit("HOST")))
+      .join(ranks, Seq("__pr_host"), "left")
+      // greatest() SKIPS nulls (greatest(0, null) = 0, not null), so the
+      // unranked case must branch explicitly, not ride a coalesce
+      .withColumn("priority",
+        when(col("__pr").isNotNull,
+          greatest(lit(0), lit(maxPriority) - floor(log2(lit(1.0) + col("__pr"))).cast("int")))
+          .otherwise(col("priority")).cast("int"))
+      .drop("__pr_host", "__pr")
+  }
+
   /** PageRank by power iteration, the standard simplified formulation:
     *
     *   r₀(v) = 1.0

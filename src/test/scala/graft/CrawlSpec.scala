@@ -88,6 +88,42 @@ class CrawlSpec extends SparkSpec {
       html.rounds.map(s => (s.round, s.scheduled, s.responses, s.revisits)))
   }
 
+  test("hostRanks: rank boost wins the capped schedule; crawl wiring shifts round-1 mass") {
+    import spark.implicits._
+    import graft.frontier.Scheduler
+    // scheduler-level, exact: 6 hosts x 10 urls, cap 6, host3 boosted ->
+    // every scheduled slot is host3's (priority 0 beats the uniform 5)
+    val frontier = spark.range(60).select(
+      concat(lit("http://host"), (col("id") % 6).cast("string"), lit(".example/s"),
+        col("id").cast("string")).as("url"),
+      lit(5).as("priority"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("discovery_time"),
+      lit(1).as("depth"), lit("link").as("via"))
+    val ranked = graft.ops.GraphOps.rankPriorities(frontier, "url",
+      Seq(("host3.example", 1e6)).toDF("node", "rank"))
+    val sched = Scheduler.schedule(spark, ranked, Seq.empty[String].toDF("url_key"),
+      None, None, Scheduler.Config(perHostBudget = 40, maxPerRound = 6, numSlots = 4))
+    val hosts = sched.select("host").collect().map(_.getString(0))
+    assert(hosts.length === 6 && hosts.toSet === Set("host3.example"),
+      s"capped schedule not owned by the boosted host: ${hosts.toSeq}")
+
+    // crawl wiring: same web, cap binding on round 1's discovered links ->
+    // the boosted hot host takes strictly more of the capped round than in
+    // the unranked run (deterministic: xxhash fixture + total cap order)
+    // no robots here: host0 (the hot host) disallows /p2* in the fixture,
+    // which would starve the boosted host of candidates
+    val (pages, seeds, _, _, _) = world(spark)
+    val base = cfg(2).copy(dedupSizeThreshold = 1, maxPerRound = 40)
+    def round1Host0(res: Crawl.Result) = res.warcRows
+      .filter(col("seq") === 0 && col("round") === 1 && col("host") === "host0.example")
+      .count()
+    val plain = Crawl.run(spark, pages, seeds, None, None, None, base)
+    val boosted = Crawl.run(spark, pages, seeds, None, None, None, base,
+      hostRanks = Some(Seq(("host0.example", 1e6)).toDF("node", "rank")))
+    val (p0, b0) = (round1Host0(plain), round1Host0(boosted))
+    assert(b0 > p0, s"boost did not shift round-1 mass to host0: plain=$p0 boosted=$b0")
+  }
+
   test("WARC-IP-Address: both records of a pair carry the resolved address (J5)") {
     val (pages, seeds, robots, dopp, cdx) = world(spark)
     val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(1),

@@ -56,6 +56,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 3.0) < 1e-9)
   }
 
+  test("rankPriorities: log-bucketed host boost, unranked hosts keep priority") {
+    import spark.implicits._
+    val frontier = Seq(
+      ("http://hub.example/a", 5),
+      ("http://mid.example/b", 5),
+      ("http://cold.example/c", 5),
+      ("http://unranked.example/d", 7)).toDF("url", "priority")
+    val ranks = Seq(("hub.example", 1000.0), ("mid.example", 7.0),
+      ("cold.example", 1.0)).toDF("node", "rank")
+    val got = GraphOps.rankPriorities(frontier, "url", ranks).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[Int]("priority")).toMap
+    assert(got("http://hub.example/a") === 0)  // 9 - floor(log2(1001)) = 0
+    assert(got("http://mid.example/b") === 6)  // 9 - floor(log2(8))    = 6
+    assert(got("http://cold.example/c") === 8) // 9 - floor(log2(2))    = 8
+    assert(got("http://unranked.example/d") === 7)
+    // column order/schema preserved for the frontier contract
+    assert(GraphOps.rankPriorities(frontier, "url", ranks).columns.toSeq
+      === frontier.columns.toSeq)
+  }
+
   test("hostEdges canonicalizes, drops self-loops, dedupes") {
     import spark.implicits._
     val links = Seq(
