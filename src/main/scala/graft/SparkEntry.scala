@@ -907,6 +907,25 @@ object SparkEntry {
         .select("doc_id", "domain").orderBy("doc_id")
     }),
 
+    "q78_quality_classifier" -> ((s, dir) => {
+      // fastText-style quality classifier (Classifier.train + score):
+      // labels and a learnable marker injected deterministically (docs with
+      // doc_id%3==0 are the 'good' class and carry an 'xgood xgood'
+      // prefix); TWO GD epochs so the oracle can replay the ENTIRE
+      // micro-quantized training loop in SQL — weights are BIGINT micros,
+      // every cross-row aggregate is quantized on both sides, so the two
+      // engines land on identical model integers before scoring
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit("xgood xgood "), col("text")))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      val model = graft.ops.Classifier.train(docs, "doc_id", "text", "y",
+        dim = 256, epochs = 2, lr = 0.5)
+      graft.ops.Classifier.score(docs, "doc_id", "text", model, dim = 256)
+        .select(col("id").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy("doc_id")
+    }),
+
     "q73_wat_serialize" -> ((s, dir) => {
       // the WAT derivative in expression form: templated response fields ->
       // JSON envelope (Wat.envelope: fixed key order, jsonEscape on every
@@ -1841,6 +1860,44 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q78_quality_classifier" -> {
+      // the whole micro-quantized GD loop unrolled: epoch 1 from the zero
+      // model (s=0, p=0.5), epoch 2 through exp/sigmoid, then scoring —
+      // hashed buckets via the portable md5 hash (% 256 = low bits, so the
+      // unsigned DuckDB mod equals Spark's signed pmod)
+      """WITH docs AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'xgood xgood ' || text ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT id, y, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t FROM docs),
+        |tok AS (SELECT id, y, len(t) AS n, unnest(t) AS w FROM toks WHERE len(t) > 0),
+        |bf AS (SELECT id, CAST(CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) % 256 AS BIGINT) AS bucket,
+        |              count(*) AS c, any_value(n) AS n
+        |       FROM tok GROUP BY id, bucket),
+        |feats AS (SELECT id, bucket, CAST(c AS DOUBLE) / n AS x FROM bf
+        |          UNION ALL
+        |          SELECT DISTINCT id, CAST(-1 AS BIGINT), CAST(1.0 AS DOUBLE) FROM tok),
+        |lab AS (SELECT DISTINCT id, y FROM tok),
+        |nn AS (SELECT count(*) AS cnt FROM lab),
+        |r1 AS (SELECT id, CAST(round((0.5 - y) * 1000000) AS BIGINT) AS r FROM lab),
+        |g1 AS (SELECT f.bucket, CAST(round(sum(f.x * r1.r) / (SELECT cnt FROM nn)) AS BIGINT) AS gm
+        |       FROM feats f JOIN r1 USING (id) GROUP BY f.bucket),
+        |w1 AS (SELECT bucket, -CAST(round(0.5 * gm) AS BIGINT) AS wm FROM g1),
+        |s2 AS (SELECT f.id, sum(f.x * coalesce(w1.wm, 0)) / 1000000.0 AS s
+        |       FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.id),
+        |r2 AS (SELECT l.id, CAST(round((1.0/(1.0 + exp(-s2.s)) - l.y) * 1000000) AS BIGINT) AS r
+        |       FROM lab l JOIN s2 USING (id)),
+        |g2 AS (SELECT f.bucket, CAST(round(sum(f.x * r2.r) / (SELECT cnt FROM nn)) AS BIGINT) AS gm
+        |       FROM feats f JOIN r2 USING (id) GROUP BY f.bucket),
+        |w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+        |              coalesce(w1.wm, 0) - CAST(round(0.5 * coalesce(g2.gm, 0)) AS BIGINT) AS wm
+        |       FROM w1 FULL OUTER JOIN g2 ON w1.bucket = g2.bucket),
+        |sc AS (SELECT f.id, 1.0/(1.0 + exp(-(sum(f.x * coalesce(w2.wm, 0)) / 1000000.0))) AS p
+        |       FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.id)
+        |SELECT id AS doc_id, round(p, 5) AS score FROM sc ORDER BY id""".stripMargin
     },
 
     "q77_domain_cap" -> {
