@@ -1962,7 +1962,8 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY grp
         |           ORDER BY abs(ts - (20200101000000 + grp * 123 + 50)), ts) AS rn
         |  FROM caps)
-        |SELECT urlkey, target_ts, ts AS capture_ts, original, statuscode, digest,
+        |SELECT urlkey, target_ts, ts AS capture_ts, original,
+        |       'text/html' AS mimetype, statuscode, digest,
         |       length, "offset", filename
         |FROM ranked WHERE rn = 1 ORDER BY urlkey""".stripMargin
     },

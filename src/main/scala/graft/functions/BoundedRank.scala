@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -73,6 +74,14 @@ case class KthSmallestAgg(
 
   require(k >= 1, s"k must be >= 1, got $k")
 
+  // analysis-time rejection of non-string children (otherwise a LongType
+  // child resolves fine and every task dies on the UTF8String cast);
+  // AbstractDataType is private[sql] in Spark 4, so the check rides
+  // checkInputDataTypes rather than ExpectsInputTypes
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kth_smallest_agg requires a STRING child, got ${child.dataType.simpleString}")
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "kth_smallest_agg"

@@ -67,8 +67,10 @@ object CdxIndex {
   def write(spark: SparkSession, warcDir: String, outDir: String): Unit =
     lines(spark, warcDir).select("cdx_line").write.mode("overwrite").text(outDir)
 
-  /** Parse written CDX text lines back into the 11 columns (the inverse of
-    * the `cdx_line` assembly; fields are space-free by construction). */
+  /** Parse written CDX text lines back into columns (the inverse of the
+    * `cdx_line` assembly; fields are space-free by construction). Returns 9
+    * of the 11 fields — redirect and meta are omitted because [[lines]]
+    * always emits them as the `-` placeholder. */
   def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val f = split(col(lineCol), " ")
     lines.select(
@@ -104,6 +106,7 @@ object CdxIndex {
         col("length"), col("offset"), col("filename"))).as("best"))
       .select(col("urlkey"), col("target_ts"),
         col("best.ts").as("capture_ts"), col("best.original").as("original"),
+        col("best.mimetype").as("mimetype"),
         col("best.statuscode").as("statuscode"), col("best.digest").as("digest"),
         col("best.length").as("length"), col("best.offset").as("offset"),
         col("best.filename").as("filename"))

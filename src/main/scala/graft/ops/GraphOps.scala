@@ -42,6 +42,9 @@ object GraphOps {
     * (the host dimension is small next to the frontier). */
   def rankPriorities(frontier: DataFrame, urlCol: String, hostRanks: DataFrame,
                      maxPriority: Int = 9): DataFrame = {
+    val prReserved = Seq("__pr_host", "__pr").filter(frontier.columns.contains)
+    require(prReserved.isEmpty,
+      s"rankPriorities: input already has reserved column(s) ${prReserved.mkString(", ")}")
     val ranks = broadcast(hostRanks.select(
       col("node").as("__pr_host"), col("rank").as("__pr")))
     frontier
@@ -74,6 +77,7 @@ object GraphOps {
                checkpointEvery: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     // one partitioning of the big side, reused by every iteration's join
@@ -95,6 +99,10 @@ object GraphOps {
       ranks = if (i % checkpointEvery == 0 && i < iterations)
         next.localCheckpoint(true) else next
     }
-    ranks
+    // materialize the result, then release the iteration caches — without
+    // this every invocation leaks two storage entries for the session
+    val out = ranks.localCheckpoint(true)
+    edgesDeg.unpersist(); nodes.unpersist()
+    out
   }
 }

@@ -339,16 +339,19 @@ object PipelineOps {
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, maxPerKey: Int,
                 seed: String = "graft"): DataFrame = {
     require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
-    val reserved = Seq("__cap_coin", "__cap_thr").filter(df.columns.contains)
+    val reserved = Seq("__cap_coin", "__cap_thr", "__cap_key").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"capPerKey: input already has reserved column(s) ${reserved.mkString(", ")}")
     val coined = df.withColumn("__cap_coin",
       md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
-    val thresholds = coined.groupBy(col(keyCol))
+    val thresholds = coined.groupBy(col(keyCol).as("__cap_key"))
       .agg(graft.functions.KthSmallestAgg
         .kth_smallest_agg(col("__cap_coin"), maxPerKey).as("__cap_thr"))
-    coined.join(thresholds, Seq(keyCol))
+    // null-SAFE join: a null key is a group like any other (the row_number
+    // reference semantics partition nulls together) — a plain equi-join
+    // would silently drop every null-key row instead of capping them
+    coined.join(thresholds, col(keyCol) <=> col("__cap_key"))
       .filter(col("__cap_coin") <= col("__cap_thr"))
-      .drop("__cap_coin", "__cap_thr")
+      .drop("__cap_coin", "__cap_thr", "__cap_key")
   }
 }

@@ -56,6 +56,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 3.0) < 1e-9)
   }
 
+  test("pageRank releases its iteration caches (edges/nodes unpersisted on return)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val r = GraphOps.pageRank(Seq("a" -> "b", "b" -> "a").toDF("s", "d"), "s", "d", 3)
+    r.count()
+    // only the returned checkpoint may remain registered — the
+    // MEMORY_AND_DISK edges/nodes caches must be gone
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"pageRank leaked caches: ${spark.sparkContext.getPersistentRDDs.size - before} new entries")
+  }
+
   test("rankPriorities: log-bucketed host boost, unranked hosts keep priority") {
     import spark.implicits._
     val frontier = Seq(

@@ -569,6 +569,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped16.select("id").as[Long].collect().toSet === ref)
   }
 
+  test("capPerKey: null keys form a group and are capped, not dropped") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i => (i, if (i < 20) None else Some(i % 2)))
+    val df = rows.toDF("id", "domain")
+    val capped = PipelineOps.capPerKey(df, "domain", "id", 4)
+    val nullKept = capped.filter(col("domain").isNull).count()
+    assert(nullKept === 4L, s"null-key group must cap at k, got $nullKept")
+    assert(capped.filter(col("domain").isNotNull).count() === 8L) // 2 keys x 5 rows, capped at 4
+  }
+
   test("capPerKey: reserved-column guard and k=1") {
     import spark.implicits._
     val bad = Seq((1L, 2L, "x")).toDF("id", "domain", "__cap_coin")

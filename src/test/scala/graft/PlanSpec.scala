@@ -147,8 +147,11 @@ class PlanSpec extends SparkSpec {
     assert(!look.contains("Window"), "lookup regressed to a window:\n" + look.take(1200))
     val pr = planOf("q76_pagerank")
     assert(!pr.contains("Window"), "pageRank must not use windows:\n" + pr.take(1200))
-    assert(pr.contains("InMemoryTableScan"),
-      "pageRank iterations must reuse the persisted degree-joined edges:\n" + pr.take(1200))
+    // the result is served from the final localCheckpoint (iteration lineage
+    // cut + the edges/nodes caches released before return — the per-round
+    // cache-hygiene test lives in GraphOpsSpec)
+    assert(pr.contains("Scan ExistingRDD"),
+      "pageRank result must be the materialized checkpoint:\n" + pr.take(1200))
   }
 
   test("q77: domain cap is a partial bounded aggregate, never a rank window") {
