@@ -67,6 +67,77 @@ object CdxIndex {
   def write(spark: SparkSession, warcDir: String, outDir: String): Unit =
     lines(spark, warcDir).select("cdx_line").write.mode("overwrite").text(outDir)
 
+  /**
+   * Zipnum-style sharded index (the Common Crawl / Wayback layout for a
+   * CDX too big to binary-search as flat text): the sorted lines are packed
+   * into independent gzip members of `blockLines` lines, one shard file per
+   * sort partition (`cdx-NNNNN.gz`, members concatenated — the same
+   * member-per-unit layout as .warc.gz), plus the secondary index — one row
+   * per block: (first urlkey, first timestamp, shard, member offset, member
+   * length, block seq). A replay front-end binary-searches the ~1/3000-size
+   * secondary index and gunzips ONE member — random access over a 100 TB
+   * index with no database.
+   *
+   * The secondary rows are written as text parts under `outDir/cluster.idx/`
+   * in partition order — part order = sort order, so the parts concatenate
+   * into the classic single `cluster.idx`. Scale shape: each task writes its
+   * own shard sequentially and emits only its block rows (lines/3000);
+   * nothing funnels through the driver.
+   *
+   * Returns the secondary-index frame for inspection/tests.
+   */
+  def writeZipnum(spark: SparkSession, warcDir: String, outDir: String,
+                  blockLines: Int = 3000): DataFrame =
+    writeZipnumLines(lines(spark, warcDir), outDir, blockLines)
+
+  /** See [[writeZipnum]]; `sorted` must carry `cdx_line` and already be
+    * range-partitioned + sorted (as [[lines]] returns). */
+  def writeZipnumLines(sorted: DataFrame, outDir: String,
+                       blockLines: Int = 3000): DataFrame = {
+    require(blockLines >= 1, s"blockLines must be >= 1, got $blockLines")
+    val spark = sorted.sparkSession
+    val root = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    java.nio.file.Files.createDirectories(root)
+    val rootStr = root.toString
+    val blocks = sorted.select(col("cdx_line")).as(
+      org.apache.spark.sql.Encoders.STRING).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val shard = f"cdx-$pid%05d.gz"
+          val path = java.nio.file.Paths.get(rootStr).resolve(shard)
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(path))
+          var offset = 0L
+          var seq = 0
+          val rows = try {
+            it.grouped(blockLines).map { blk =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write((blk.mkString("\n") + "\n").getBytes("UTF-8"))
+              gz.finish(); gz.close()
+              val bytes = bos.toByteArray
+              out.write(bytes)
+              val fields = blk.head.split(" ", 3)
+              val row = (fields(0), fields(1), shard, offset, bytes.length.toLong, seq)
+              offset += bytes.length
+              seq += 1
+              row
+            }.toVector // drain before closing the shard stream
+          } finally out.close()
+          rows.iterator
+        }
+      }
+    val cluster = spark.createDataFrame(blocks)
+      .toDF("block_key", "block_ts", "shard", "offset", "length", "seq")
+    cluster.select(concat_ws("\t",
+        col("block_key"), col("block_ts"), col("shard"),
+        col("offset").cast("string"), col("length").cast("string"),
+        col("seq").cast("string")).as("value"))
+      .write.mode("overwrite").text(new java.io.File(rootStr, "cluster.idx").getPath)
+    cluster
+  }
+
   /** Parse written CDX text lines back into columns (the inverse of the
     * `cdx_line` assembly; fields are space-free by construction). Returns 9
     * of the 11 fields — redirect and meta are omitted because [[lines]]

@@ -76,6 +76,13 @@ object TrainingPipelineDemo {
     println(s"cdx lookup: ${graft.jobs.CdxIndex.nearestCaptures(cdxParsed, lookups).count()} " +
       "nearest captures resolved")
 
+    // 3d-ii) zipnum: the sharded secondary index over the same CDX (what a
+    // wayback front-end binary-searches at 100 TB scale)
+    val zipDir = java.nio.file.Files.createTempDirectory("pipeline-zipnum").toString
+    val zipBlocks = graft.jobs.CdxIndex.writeZipnum(spark, warcDir, zipDir, blockLines = 20)
+    println(s"zipnum: ${zipBlocks.count()} blocks across " +
+      s"${zipBlocks.select("shard").distinct().count()} shards")
+
     // 3e) link graph: page outlinks -> host edges -> PageRank (the
     // crawl-prioritization signal for the next round's frontier ordering)
     val pageLinks = SyntheticWeb.pages(spark, n).select(col("url").as("src_url"),

@@ -84,6 +84,51 @@ class CdxIndexSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("zipnum: gzip-member blocks tile the shards; cluster.idx binary-search replays") {
+    val warcDir = Files.createTempDirectory("zipnum-src").toString
+    WarcSink.write(responses(40), warcDir, maxRecordsPerFile = 15, gzip = true)
+    val outDir = Files.createTempDirectory("zipnum-out").toString
+    val cluster = graft.jobs.CdxIndex.writeZipnum(spark, warcDir, outDir, blockLines = 7)
+    val rows = cluster.collect()
+    assert(rows.map(_.getAs[Long]("length")).sum > 0)
+
+    def gunzipBlock(r: org.apache.spark.sql.Row): Array[String] = {
+      val all = Files.readAllBytes(Paths.get(outDir, r.getAs[String]("shard")))
+      val off = r.getAs[Long]("offset").toInt
+      val len = r.getAs[Long]("length").toInt
+      new String(new GZIPInputStream(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(all, off, off + len))).readAllBytes(), "UTF-8")
+        .split("\n")
+    }
+
+    // members tile each shard exactly; every non-final block holds blockLines
+    // lines and opens with its indexed (block_key, block_ts)
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("seq"))
+      assert(sorted.map(_.getAs[Long]("length")).sum ===
+        Files.size(Paths.get(outDir, shard)), s"members do not tile $shard")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val ls = gunzipBlock(r)
+        assert(ls.head.startsWith(r.getAs[String]("block_key") + " " +
+          r.getAs[String]("block_ts") + " "))
+        if (i < sorted.length - 1) assert(ls.length === 7)
+      }
+    }
+
+    // binary-search replay: last block with (key, ts) <= target holds the line
+    val target = graft.jobs.CdxIndex.lines(spark, warcDir)
+      .select("cdx_line").orderBy("cdx_line").collect()(25).getString(0)
+    val Array(tKey, tTs, _) = target.split(" ", 3)
+    val hit = rows.filter { r =>
+      val c = r.getAs[String]("block_key").compareTo(tKey)
+      c < 0 || (c == 0 && r.getAs[String]("block_ts") <= tTs)
+    }.maxBy(r => (r.getAs[String]("block_key"), r.getAs[String]("block_ts")))
+    assert(gunzipBlock(hit).contains(target), s"binary-searched block misses: $target")
+
+    // the text parts hold one row per block, tab-joined
+    assert(spark.read.text(s"$outDir/cluster.idx").count() === rows.length)
+  }
+
   test("nearest-capture lookup: parse round-trip, numeric-nearest pick, earlier-wins tie") {
     import spark.implicits._
     // 3 captures per url at ts ...20, ...40, ...41 (seconds field)
