@@ -919,9 +919,14 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0, concat(lit("xgood xgood "), col("text")))
           .otherwise(col("text")).as("text"),
         (col("doc_id") % 3 === 0).cast("int").as("y"))
-      val model = graft.ops.Classifier.train(docs, "doc_id", "text", "y",
-        dim = 256, epochs = 2, lr = 0.5)
-      graft.ops.Classifier.score(docs, "doc_id", "text", model, dim = 256)
+      // one feature build feeds BOTH training and scoring (trainOnFeatures/
+      // scoreFeatures reuse path); staged like q55/q57 — a production run
+      // would persist to storage instead
+      val feats = graft.ops.Classifier.features(docs, "doc_id", "text", 256)
+        .localCheckpoint(true)
+      val model = graft.ops.Classifier.trainOnFeatures(feats,
+        docs.select(col("doc_id").as("id"), col("y")), epochs = 2, lr = 0.5)
+      graft.ops.Classifier.scoreFeatures(feats, model)
         .select(col("id").as("doc_id"), round(col("score"), 5).as("score"))
         .orderBy("doc_id")
     }),

@@ -56,11 +56,22 @@ object Classifier {
     * `(bucket, wm)` with weights in micros, bucket −1 the bias. */
   def train(df: DataFrame, idCol: String, textCol: String, labelCol: String,
             dim: Int = 256, epochs: Int = 3, lr: Double = 0.5): DataFrame = {
-    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
-    val spark = df.sparkSession
     val feats = features(df, idCol, textCol, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = df.select(col(idCol).as("id"), col(labelCol).cast("int").as("y"))
+    try trainOnFeatures(feats,
+      df.select(col(idCol).as("id"), col(labelCol).cast("int").as("y")),
+      epochs, lr)
+    finally feats.unpersist()
+  }
+
+  /** Train on a pre-built (and ideally persisted) [[features]] frame — the
+    * reuse path when the same features feed training AND scoring (q78's
+    * shape: one feature build instead of two). `labels` is (id, y). */
+  def trainOnFeatures(feats: DataFrame, labelsIn: DataFrame,
+                      epochs: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val spark = feats.sparkSession
+    val labels = labelsIn.select(col("id"), col("y").cast("int").as("y"))
       .join(feats.select("id").distinct(), Seq("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = labels.count() // scalar: sizes the gradient mean
@@ -80,13 +91,43 @@ object Classifier {
             round(lit(lr) * coalesce(col("gm"), lit(0L)), 0).cast("long")).as("wm"))
         .localCheckpoint(true)
     }
-    feats.unpersist(); labels.unpersist()
+    labels.unpersist()
     model
   }
 
   /** Score docs against a trained model: (id, score), score = σ(w·x). */
   def score(df: DataFrame, idCol: String, textCol: String, model: DataFrame,
             dim: Int = 256): DataFrame =
-    dot(features(df, idCol, textCol, dim), model)
+    scoreFeatures(features(df, idCol, textCol, dim), model)
+
+  /** Score a pre-built [[features]] frame (the reuse path). */
+  def scoreFeatures(feats: DataFrame, model: DataFrame): DataFrame =
+    dot(feats, model)
       .select(col("id"), (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("score"))
+
+  /** Streaming-safe scoring: mathematically the same σ(Σ w·x) but with ONE
+    * aggregation — per-token rows join the broadcast model directly (no
+    * intermediate per-bucket count aggregate), so it runs as a streaming
+    * query (stream-static broadcast join + one groupBy), the same shape as
+    * the streaming LM scorer. Float summation order differs from [[score]]
+    * (per-token instead of per-bucket terms), so results agree to ~1e-12,
+    * not bitwise. */
+  def scoreStream(df: DataFrame, idCol: String, textCol: String, model: DataFrame,
+                  dim: Int = 256): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two for portable bucketing, got $dim")
+    val toksed = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+    val tokenRows = toksed
+      .select(col("id"), explode(col("toks")).as("tok"),
+        (lit(1.0) / col("n")).as("x"))
+      .select(col("id"),
+        pmod(PipelineOps.portableHash64(col("tok")), lit(dim.toLong)).as("bucket"),
+        col("x"))
+      .unionByName(toksed.select(col("id"), lit(-1L).as("bucket"), lit(1.0).as("x")))
+    tokenRows.join(broadcast(model), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg((sum(col("x") * coalesce(col("wm"), lit(0L))) / 1e6).as("s"))
+      .select(col("id"), (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("score"))
+  }
 }

@@ -53,6 +53,24 @@ class ClassifierSpec extends SparkSpec {
     assert(Classifier.score(withEmpty, "id", "text", m).filter(col("id") === 99L).count() === 0)
   }
 
+  test("scoreStream agrees with score; feature-reuse path equals the convenience path") {
+    import spark.implicits._
+    val df = fixture(30)
+    val model = Classifier.train(df, "id", "text", "y", dim = 64, epochs = 6)
+    val a = Classifier.score(df, "id", "text", model, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Classifier.scoreStream(df, "id", "text", model, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9, s"id $k") }
+    // trainOnFeatures over prebuilt features = train (same loop, same feats)
+    val feats = Classifier.features(df, "id", "text", 64)
+    val m2 = Classifier.trainOnFeatures(feats,
+      df.select(col("id"), col("y")), epochs = 6)
+    assert(model.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      m2.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
+
   test("dim must be a power of two") {
     val e = intercept[IllegalArgumentException] {
       Classifier.features(fixture(2), "id", "text", 100)

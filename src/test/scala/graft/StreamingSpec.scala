@@ -217,4 +217,41 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(_._1) === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("streaming classifier scoring: doc stream scored against a static model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deploy shape of the learned quality gate: train ONCE on a labeled
+    // batch, score arriving docs continuously; scoreStream is the one-
+    // aggregation variant (token rows -> stream-static broadcast model join
+    // -> one groupBy), the supported streaming shape
+    val labeled = Seq(
+      (100L, "good solid prose here", 1), (101L, "spam junk buy now", 0),
+      (102L, "good fine prose too", 1), (103L, "junk spam now cheap", 0))
+      .toDF("id", "text", "y")
+    val model = graft.ops.Classifier.train(labeled, "id", "text", "y",
+      dim = 64, epochs = 20, lr = 4.0).cache()
+    model.count()
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.ops.Classifier.scoreStream(
+      input.toDF().toDF("id", "text"), "id", "text", model, dim = 64)
+    val q = scored.writeStream.format("memory").queryName("clf_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L, "good prose"), (2L, "spam junk"))
+      q.processAllAvailable()
+      input.addData((3L, "solid good"))
+      q.processAllAvailable()
+      val got = spark.table("clf_out").as[(Long, Double)].collect().sortBy(_._1).toSeq
+      // batch run of the same path on the same rows is the oracle
+      val batch = graft.ops.Classifier.scoreStream(
+        Seq((1L, "good prose"), (2L, "spam junk"), (3L, "solid good"))
+          .toDF("id", "text"), "id", "text", model, dim = 64)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got === batch)
+      // and the learned direction survives the stream
+      val m = got.toMap
+      assert(m(1L) > 0.6 && m(3L) > 0.6 && m(2L) < 0.4, got.toString)
+    } finally q.stop()
+  }
 }
