@@ -931,6 +931,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q79_compact_plan" -> ((s, dir) => {
+      // the retroactive-dedup decision layer (Compact.plan, the exact code
+      // compactRows runs): synthetic captures with 100 payload classes and
+      // scrambled dates — earliest (date, id) per digest keeps its record,
+      // every later duplicate becomes a revisit referencing the winner;
+      // oracle replays the pick as row_number/first_value over the same
+      // total order
+      val d = col("doc_id")
+      val caps = t(s, dir, "documents").select(
+        concat(lit("<urn:uuid:r"), d.cast("string"), lit(">")).as("record_id"),
+        concat(lit("sha1:"), upper(md5((d % 100).cast("string")))).as("payload_digest"),
+        concat(lit("2023-11-14T22:"), lpad(((d * 13) % 60).cast("string"), 2, "0"),
+          lit(":"), lpad((d % 60).cast("string"), 2, "0"), lit("Z")).as("warc_date"),
+        concat(lit("http://x/"), d.cast("string")).as("target_uri"))
+      graft.jobs.Compact.plan(caps)
+        .select(col("record_id"),
+          when(col("is_winner"), lit("response")).otherwise(lit("revisit")).as("action"),
+          when(col("is_winner"), lit("-")).otherwise(col("winner_id")).as("refers_to"))
+        .orderBy("record_id")
+    }),
+
     "q73_wat_serialize" -> ((s, dir) => {
       // the WAT derivative in expression form: templated response fields ->
       // JSON envelope (Wat.envelope: fixed key order, jsonEscape on every
@@ -1865,6 +1886,24 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q79_compact_plan" -> {
+      // earliest-wins per digest as a ranking window; same (date, id) order
+      """WITH caps AS (
+        |  SELECT '<urn:uuid:r' || doc_id || '>' AS record_id,
+        |         'sha1:' || upper(md5(CAST(doc_id % 100 AS VARCHAR))) AS digest,
+        |         '2023-11-14T22:' || lpad(CAST((doc_id * 13) % 60 AS VARCHAR), 2, '0')
+        |           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date
+        |  FROM documents),
+        |r AS (SELECT record_id,
+        |             row_number() OVER (PARTITION BY digest ORDER BY warc_date, record_id) AS rn,
+        |             first_value(record_id) OVER (PARTITION BY digest ORDER BY warc_date, record_id) AS w
+        |      FROM caps)
+        |SELECT record_id,
+        |       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS action,
+        |       CASE WHEN rn = 1 THEN '-' ELSE w END AS refers_to
+        |FROM r ORDER BY record_id""".stripMargin
     },
 
     "q78_quality_classifier" -> {

@@ -83,6 +83,17 @@ object TrainingPipelineDemo {
     println(s"zipnum: ${zipBlocks.count()} blocks across " +
       s"${zipBlocks.select("shard").distinct().count()} shards")
 
+    // 3d-iii) retroactive dedup: compact the archive (duplicate payloads ->
+    // revisits referencing the earliest capture), then resolve it back for
+    // replay — the storage/replay cycle over the same files
+    val compactDir = java.nio.file.Files.createTempDirectory("pipeline-compact").toString
+    graft.jobs.Compact.write(spark, warcDir, compactDir, sizeThreshold = 1)
+    val cScan = spark.read.format("graft.sources.WarcDataSource").load(compactDir)
+    println(s"compact: ${cScan.filter(col("warc_type") === "response").count()} responses + " +
+      s"${cScan.filter(col("warc_type") === "revisit").count()} revisits " +
+      s"(resolve restores ${graft.jobs.Compact.resolveRows(spark, compactDir)
+        .filter(col("headers")("WARC-Type") === "response").count()} full responses)")
+
     // 3e) link graph: page outlinks -> host edges -> PageRank (the
     // crawl-prioritization signal for the next round's frontier ordering)
     val pageLinks = SyntheticWeb.pages(spark, n).select(col("url").as("src_url"),

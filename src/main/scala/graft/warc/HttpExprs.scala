@@ -56,6 +56,11 @@ object HttpExprs {
     * payload-digest verification recomputes over (verify.go:125-187). */
   def http_payload(content: Column): Column =
     Bridge.column(HttpPayload(Bridge.expression(content)))
+
+  /** Headers-only block: bytes up to and including the first CRLFCRLF (the
+    * revisit truncation cut), null when not an HTTP block. Byte-exact. */
+  def http_head(content: Column): Column =
+    Bridge.column(HttpHead(Bridge.expression(content)))
 }
 
 object HttpPayloadUtil {
@@ -70,6 +75,35 @@ object HttpPayloadUtil {
     }
     null
   }
+
+  /** The complement of [[payload]]: bytes up to AND INCLUDING the first
+    * CRLFCRLF (the headers-only block a revisit record stores), or null if
+    * absent. `head(b) ++ payload(b) == b` whenever both are non-null. */
+  def head(b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    val n = b.length - 3
+    while (i < n) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(b, 0, i + 4)
+      i += 1
+    }
+    null
+  }
+}
+
+/** `http_head(binary) -> binary`: see [[HttpPayloadUtil.head]]. */
+case class HttpHead(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HttpPayloadUtil.head(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.warc.HttpPayloadUtil.head($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): HttpHead =
+    copy(child = newChild)
+  override def prettyName: String = "http_head"
 }
 
 /** `http_payload(binary) -> binary`: see [[HttpExprs.http_payload]]. */
