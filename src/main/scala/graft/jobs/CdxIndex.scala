@@ -68,6 +68,31 @@ object CdxIndex {
     lines(spark, warcDir).select("cdx_line").write.mode("overwrite").text(outDir)
 
   /**
+   * Merge sorted indexes (the incremental-crawl maintenance op: last
+   * month's index + this crawl's delta → one sorted index). Inputs are
+   * parsed/columnar frames (from [[lines]] or [[parse]]); exact duplicate
+   * captures — same (urlkey, timestamp, digest) — collapse, keeping the
+   * lexicographically-least remaining fields (deterministic). One
+   * range-partitioned sort re-establishes the binary-searchable contract;
+   * the dedup is a map-side-combinable `min(struct)`, never a window.
+   */
+  def merge(indexes: DataFrame*): DataFrame = {
+    require(indexes.nonEmpty, "merge needs at least one index")
+    val rest = Seq("original", "mimetype", "statuscode", "length", "offset", "filename")
+    val all = indexes.reduce(_ unionByName _)
+    all.groupBy(col("urlkey"), col("timestamp"), col("digest"))
+      .agg(min(struct(rest.map(col): _*)).as("__r"))
+      .select(Seq(col("urlkey"), col("timestamp"), col("digest")) ++
+        rest.map(f => col(s"__r.$f").as(f)): _*)
+      .withColumn("cdx_line", concat_ws(" ",
+        col("urlkey"), col("timestamp"), col("original"), col("mimetype"),
+        col("statuscode"), col("digest"), lit("-"), lit("-"),
+        col("length"), col("offset"), col("filename")))
+      .repartitionByRange(col("urlkey"), col("timestamp"))
+      .sortWithinPartitions("urlkey", "timestamp")
+  }
+
+  /**
    * Zipnum-style sharded index (the Common Crawl / Wayback layout for a
    * CDX too big to binary-search as flat text): the sorted lines are packed
    * into independent gzip members of `blockLines` lines, one shard file per

@@ -84,6 +84,27 @@ class CdxIndexSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("merge: two crawls' indexes interleave sorted; exact duplicate captures collapse") {
+    val dirA = Files.createTempDirectory("cdx-merge-a").toString
+    val dirB = Files.createTempDirectory("cdx-merge-b").toString
+    WarcSink.write(responses(20), dirA, gzip = true)
+    WarcSink.write(responses(30), dirB, gzip = true) // first 20 = same captures
+    val a = graft.jobs.CdxIndex.lines(spark, dirA)
+    val b = graft.jobs.CdxIndex.lines(spark, dirB)
+    val merged = graft.jobs.CdxIndex.merge(a, b)
+    // the 20 overlapping captures (same urlkey/timestamp/digest) collapse
+    assert(merged.count() === 30)
+    // sorted-contract re-established per partition
+    val perPart = merged.select(spark_partition_id().as("p"), col("urlkey"), col("timestamp"))
+      .collect().groupBy(_.getInt(0))
+    perPart.values.foreach { part =>
+      val ks = part.map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(ks === ks.sorted)
+    }
+    // self-merge is idempotent
+    assert(graft.jobs.CdxIndex.merge(b, b).count() === 30)
+  }
+
   test("zipnum: gzip-member blocks tile the shards; cluster.idx binary-search replays") {
     val warcDir = Files.createTempDirectory("zipnum-src").toString
     WarcSink.write(responses(40), warcDir, maxRecordsPerFile = 15, gzip = true)
