@@ -67,6 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "surt_key",
       "surt_key(url) - sort-friendly CDX url key (reversed host labels)", 1,
       args => graft.functions.SurtKey(args.head))
+    register(ext, "graft_nfc",
+      "graft_nfc(text) - Unicode NFC normalization (canonical composition)", 1,
+      args => graft.functions.NfcNormalize(args.head))
     register(ext, "url_resolve",
       "url_resolve(base, ref) - RFC 3986 §5.2 reference resolution (keeps " +
         "the fragment; canonicalize separately)", 2,

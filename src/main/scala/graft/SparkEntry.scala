@@ -931,6 +931,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q80_text_normalize" -> ((s, dir) => {
+      // unicode web-text normalization (TextOps.normalizeText, codegen
+      // NfcNormalize): NFD sequences, zero-width chars, and control bytes
+      // injected deterministically, then normalized away; DuckDB's own
+      // nfc_normalize is the exact oracle (same Unicode standard), the
+      // strip classes spelled per-engine (\uXXXX Java / \x{...} RE2)
+      val coin = col("doc_id") % 4
+      val raw = when(coin === 0, concat(lit("Cafe\u0301 "), col("text")))
+        .when(coin === 1, concat(lit("\u200B"), col("text"), lit("\u200C")))
+        .when(coin === 2, concat(lit("\u0007"), col("text")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
+        .select(col("doc_id"), col("__raw"),
+          graft.ops.TextOps.normalizeText(col("__raw")).as("text_norm"))
+        .select(col("doc_id"), col("text_norm"),
+          (col("text_norm") =!= col("__raw")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     "q79_compact_plan" -> ((s, dir) => {
       // the retroactive-dedup decision layer (Compact.plan, the exact code
       // compactRows runs): synthetic captures with 100 payload classes and
@@ -1886,6 +1905,24 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q80_text_normalize" -> {
+      // same injection, DuckDB's nfc_normalize + RE2-spelled strip classes
+      """WITH base AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN 'Cafe' || chr(769) || ' ' || text
+        |    WHEN 1 THEN chr(8203) || text || chr(8204)
+        |    WHEN 2 THEN chr(7) || text
+        |    ELSE text END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw,
+        |  regexp_replace(regexp_replace(nfc_normalize(raw),
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS text_norm
+        |  FROM base)
+        |SELECT doc_id, text_norm, text_norm <> raw AS changed
+        |FROM n ORDER BY doc_id""".stripMargin
     },
 
     "q79_compact_plan" -> {

@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
+  /** Zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) — invisible, token-splitting
+    * hazards; single-sourced into the q80 oracle. */
+  val ZeroWidthPattern = "[\\u200B\\u200C\\u200D\\uFEFF]"
+
+  /** C0 controls except \t\n\r, plus DEL and C1 — the mojibake/control
+    * residue web text carries; RE2-portable byte-range classes. */
+  val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /** Web-text normalization (the C4/CCNet-style cleanup pass): Unicode NFC
+    * (codegen `NfcNormalize`, DuckDB `nfc_normalize` is the exact oracle),
+    * then zero-width and control-character removal (tab/newline/CR kept).
+    * Pure codegen chain — narrow, no shuffle, idempotent. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfc_normalize(text),
+        ZeroWidthPattern, ""),
+      ControlPattern, "")
+
   /** Whitespace tokenization (empty-string-safe). */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)

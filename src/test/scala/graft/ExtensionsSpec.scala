@@ -89,6 +89,7 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_html_title('<title>T</title>') AS ti""".stripMargin).head()
     assert(htmlRows.getString(0) === "a & b")
     assert(htmlRows.getString(1) === "T")
+    assert(spark.sql("SELECT graft_nfc('Cafe\\u0301')").head().getString(0) === "Caf\u00e9")
   }
 
   test("graft_bpe_encode is SQL-reachable, identical to the API") {

@@ -569,6 +569,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped16.select("id").as[Long].collect().toSet === ref)
   }
 
+  test("normalizeText: NFC composition, zero-width and control removal, idempotent") {
+    import spark.implicits._
+    val rows = Seq(
+      "Cafe\u0301 composed",                    // NFD -> NFC
+      "a\u200Bb\u200C\u200Dc\uFEFF",         // zero-width out
+      "bell\u0007 and\u009F del\u007F",       // control out
+      "keep\ttabs\nand\r\nnewlines",         // kept whitespace
+      "plain").toDF("t")
+    val got = rows.select(TextOps.normalizeText(col("t")).as("n")).as[String].collect()
+    assert(got(0) === "Caf\u00e9 composed")
+    assert(got(1) === "abc")
+    assert(got(2) === "bell and del")
+    assert(got(3) === "keep\ttabs\nand\r\nnewlines")
+    assert(got(4) === "plain")
+    val twice = rows.select(
+      TextOps.normalizeText(TextOps.normalizeText(col("t"))).as("n")).as[String].collect()
+    assert(twice.toSeq === got.toSeq)
+  }
+
   test("capPerKey: null keys form a group and are capped, not dropped") {
     import spark.implicits._
     val rows = (0L until 30L).map(i => (i, if (i < 20) None else Some(i % 2)))
