@@ -931,6 +931,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q81_crossdoc_ngrams" -> ((s, dir) => {
+      // corpus-level duplicate-n-gram report (TextOps.crossDocNgramReport):
+      // per doc, the fraction of its distinct 3-grams shared with another
+      // document — gram doc-frequency is one map-side-combinable count,
+      // never a window; oracle rebuilds the same grams (LATERAL unnest)
+      graft.ops.TextOps.crossDocNgramReport(
+          t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          col("shared_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q80_text_normalize" -> ((s, dir) => {
       // unicode web-text normalization (TextOps.normalizeText, codegen
       // NfcNormalize): NFD sequences, zero-width chars, and control bytes
@@ -1905,6 +1917,25 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q81_crossdoc_ngrams" -> {
+      // same distinct-gram construction: full 3-grams for len>=3, the whole
+      // token sequence as ONE gram below that (contaminationFlags rule)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+        |       WHERE len(t) >= 3),
+        |gshort AS (SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM g3 UNION ALL SELECT * FROM gshort)),
+        |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared,
+        |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac
+        |FROM grams JOIN dfreq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q80_text_normalize" -> {

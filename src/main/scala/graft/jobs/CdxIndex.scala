@@ -29,9 +29,19 @@ object CdxIndex {
 
   /** One sorted line per captured record under `warcDir`, as columns
     * (urlkey..filename) plus the assembled `cdx_line`. */
-  def lines(spark: SparkSession, warcDir: String): DataFrame = {
-    val recs = spark.read.format("graft.sources.WarcDataSource").load(warcDir)
-      .filter(col("warc_type").isin(Indexed: _*))
+  def lines(spark: SparkSession, warcDir: String): DataFrame =
+    linesFrom(spark.read.format("graft.sources.WarcDataSource").load(warcDir))
+      // the sorted-index contract: range partition + in-partition sort, the
+      // 1000-executor shape (a single-partition orderBy would serialize)
+      .repartitionByRange(col("urlkey"), col("timestamp"))
+      .sortWithinPartitions("urlkey", "timestamp")
+
+  /** Line construction WITHOUT the global sort — every transform is narrow,
+    * so this also runs on the STREAMING source (`readStream` over a landing
+    * directory → unsorted delta lines per micro-batch; [[merge]] is the
+    * batch compactor that folds deltas into the sorted master index). */
+  def linesFrom(records: DataFrame): DataFrame = {
+    val recs = records.filter(col("warc_type").isin(Indexed: _*))
     val rawStr = col("content").cast("string")
     val httpMime = regexp_extract(
       graft.warc.HttpExprs.parseHttpHeader(rawStr, "Content-Type"), "^[^;]*", 0)
@@ -56,10 +66,6 @@ object CdxIndex {
         col("urlkey"), col("timestamp"), col("original"), col("mimetype"),
         col("statuscode"), col("digest"), lit("-"), lit("-"),
         col("length"), col("offset"), col("filename")))
-      // the sorted-index contract: range partition + in-partition sort, the
-      // 1000-executor shape (a single-partition orderBy would serialize)
-      .repartitionByRange(col("urlkey"), col("timestamp"))
-      .sortWithinPartitions("urlkey", "timestamp")
   }
 
   /** Write the sorted index as text part-files (` CDX N b a m s k r M S V g`

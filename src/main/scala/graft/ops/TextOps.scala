@@ -306,6 +306,32 @@ object TextOps {
     * run O(grams) times per document (measured 10 s for a pass that takes
     * ~1 s staged). Callers on a hot path should stage the token array as an
     * attribute and use [[wordNgramHashesFromTokens]]. */
+  /** Cross-document n-gram duplication report — the corpus-level health
+    * metric next to the per-document Gopher signals: for each doc, how many
+    * of its DISTINCT word n-grams occur in at least one OTHER document
+    * (`n_shared` / `shared_frac`). High fractions flag boilerplate floods
+    * and template farms before they reach training. Docs with fewer than n
+    * tokens contribute their whole token sequence as one gram (the
+    * contaminationFlags convention — a verbatim short doc still matches).
+    *
+    * Scale shape: per-doc distinct grams explode once; gram document-
+    * frequency is ONE map-side-combinable count; join back + per-doc
+    * aggregate. No windows, no driver state — a boilerplate gram shared by
+    * 10⁸ docs is one dfreq row, not a window partition. */
+  def crossDocNgramReport(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordNgramsFromTokens(tokens(col(textCol)), n))).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+  }
+
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array(concat_ws(" ", t))).otherwise(

@@ -218,6 +218,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDX: landing-dir archives index continuously; merge folds the deltas") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("cdxstream").toString
+    def mkResponses(tag: String, n: Int) = spark.range(n).select(
+      lit("WARC/1.1").as("version"),
+      map(
+        lit("WARC-Record-ID"), concat(lit(s"<urn:uuid:$tag"), col("id").cast("string"), lit(">")),
+        lit("WARC-Type"), lit("response"),
+        lit("WARC-Target-URI"), concat(lit(s"http://$tag.example/p"), col("id").cast("string")),
+        lit("WARC-Date"), lit("2024-01-01T00:00:00Z")).as("headers"),
+      concat(lit("HTTP/1.1 200 OK\r\n\r\nb"), col("id").cast("string"))
+        .cast("binary").as("content"))
+    graft.sources.WarcSink.write(mkResponses("ga", 12).coalesce(1), dir,
+      tsCompact = "20240101000000000")
+
+    val q = graft.jobs.CdxIndex.linesFrom(
+      spark.readStream.format("graft.sources.WarcDataSource").load(dir))
+      .select("cdx_line")
+      .writeStream.format("memory").queryName("cdx_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdx_stream_out").count() === 12)
+      graft.sources.WarcSink.write(mkResponses("gb", 8).coalesce(1), dir,
+        tsCompact = "20240101000100000")
+      q.processAllAvailable()
+      // streamed delta lines == the batch index over the same dir (order aside)
+      val streamed = spark.table("cdx_stream_out")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val batch = graft.jobs.CdxIndex.lines(spark, dir)
+        .select("cdx_line").collect().map(_.getString(0)).sorted.toSeq
+      assert(streamed === batch && streamed.length === 20)
+      // merge re-establishes the sorted contract over the parsed deltas
+      val merged = graft.jobs.CdxIndex.merge(graft.jobs.CdxIndex.parse(
+        spark.table("cdx_stream_out"), "cdx_line"))
+      assert(merged.count() === 20)
+    } finally q.stop()
+  }
+
   test("streaming classifier scoring: doc stream scored against a static model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
