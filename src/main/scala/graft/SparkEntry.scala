@@ -931,6 +931,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q82_bm25" -> ((s, dir) => {
+      // BM25 corpus search (TextOps.bm25ScoreMicro): per-doc score against
+      // a fixed 3-term query, Lucene smooth-idf, k1=1.2 b=0.75; every
+      // (doc, term) contribution quantizes to micros BEFORE the per-doc
+      // sum (q65/q78 discipline), so the oracle replays to identical
+      // integers — the only cross-row aggregates are counts and int sums
+      graft.ops.TextOps.bm25ScoreMicro(t(s, dir, "documents"),
+          "doc_id", "text", Seq("join", "vector", "scan"))
+        .select(col("id").as("doc_id"), col("score_micro"))
+        .orderBy("doc_id")
+    }),
+
     "q81_crossdoc_ngrams" -> ((s, dir) => {
       // corpus-level duplicate-n-gram report (TextOps.crossDocNgramReport):
       // per doc, the fraction of its distinct 3-grams shared with another
@@ -1917,6 +1929,29 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q82_bm25" -> {
+      // identical arithmetic order: ((N−df+0.5)/(df+0.5)+1), f·2.2/(f +
+      // 1.2·(0.25 + 0.75·dl/avgdl)), quantized per (doc, term)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS DOUBLE) AS f
+        |       FROM (SELECT doc_id, dl, unnest(t) AS w FROM d)
+        |       WHERE w IN ('join', 'vector', 'scan') GROUP BY doc_id, dl, w),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |per AS (SELECT tf.doc_id,
+        |          CAST(round(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |            (tf.f * 2.2 / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl)))
+        |            * 1000000) AS BIGINT) AS m
+        |        FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+        |SELECT d.doc_id, CAST(coalesce(s.sm, 0) AS BIGINT) AS score_micro
+        |FROM d LEFT JOIN (SELECT doc_id, sum(m) AS sm FROM per GROUP BY doc_id) s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
     },
 
     "q81_crossdoc_ngrams" -> {

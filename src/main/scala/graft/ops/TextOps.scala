@@ -332,6 +332,56 @@ object TextOps {
         round(col("n_shared").cast("double") / col("n_grams"), 6))
   }
 
+  /**
+   * BM25 corpus search (Robertson/Lucene smooth-idf variant): per-doc score
+   * against a fixed term query —
+   *
+   *   score(D,Q) = Σ_{t∈Q} ln((N − df + ½)/(df + ½) + 1) ·
+   *                f·(k1+1) / (f + k1·(1 − b + b·|D|/avgdl))
+   *
+   * the retrieval tool a training-data team points at a 100 TB corpus
+   * ("find everything about X before the next selection round"). Scores are
+   * returned in integer MICROS (`score_micro`) — each (doc, term)
+   * contribution quantizes before the per-doc sum (the q65/q78 discipline),
+   * so the whole computation replays exactly in SQL (q82): the only
+   * cross-row aggregates are integer counts and the final integer sum.
+   *
+   * Scale shape: tokens explode once, filtered to the query's terms BEFORE
+   * any shuffle (the explode output is |Q|-bounded per doc); term document
+   * frequencies are one tiny aggregate broadcast back; docs without any
+   * query term ride the left join at 0. Driver holds only the two corpus
+   * scalars (N, total token count).
+   */
+  def bm25ScoreMicro(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, queryTerms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    val toksed = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Seq(nDocs, totalLen) = {
+      val r = toksed.agg(count(lit(1)), sum(col("dl"))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    val avgdl = totalLen.toDouble / nDocs
+    val tf = toksed
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms.map(lit): _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("f"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log((lit(nDocs.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val part = col("f") * (k1 + 1.0) /
+      (col("f") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val perTerm = tf.join(broadcast(dfreq), Seq("term"))
+      .select(col("id"), round(idf * part * 1e6, 0).cast("long").as("__m"))
+    val out = toksed.select("id")
+      .join(perTerm.groupBy("id").agg(sum(col("__m")).as("score_micro")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+    toksed.unpersist()
+    out
+  }
+
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array(concat_ws(" ", t))).otherwise(

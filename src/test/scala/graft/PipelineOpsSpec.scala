@@ -569,6 +569,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped16.select("id").as[Long].collect().toSet === ref)
   }
 
+  test("bm25ScoreMicro matches an independent in-test reference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian"),
+      (4L, "")).toDF("id", "text")
+    val query = Seq("apple", "cherry")
+    val got = TextOps.bm25ScoreMicro(docs, "id", "text", query).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference (same formula, plain scala doubles)
+    val toks = Map(1L -> Seq("apple", "banana", "apple"), 2L -> Seq("banana", "cherry"),
+      3L -> Seq("cherry", "cherry", "cherry", "durian"), 4L -> Seq.empty[String])
+    val n = 4.0; val avgdl = 9.0 / 4
+    def dfOf(t: String) = toks.values.count(_.contains(t)).toDouble
+    def micro(f: Double, dl: Double, df: Double): Long = {
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val part = f * 2.2 / (f + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      math.round(idf * part * 1e6)
+    }
+    val want = toks.map { case (id, ts) =>
+      id -> query.map { t =>
+        val f = ts.count(_ == t).toDouble
+        if (f == 0) 0L else micro(f, ts.size.toDouble, dfOf(t))
+      }.sum
+    }
+    assert(got === want)
+    assert(got(1L) > 0 && got(3L) > got(2L) && got(4L) === 0L)
+  }
+
   test("normalizeText: NFC composition, zero-width and control removal, idempotent") {
     import spark.implicits._
     val rows = Seq(
