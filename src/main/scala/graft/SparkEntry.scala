@@ -931,6 +931,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q83_recrawl_schedule" -> ((s, dir) => {
+      // adaptive revisit policy (frontier/Recrawl.schedule): capture
+      // history synthesized from documents (40 urlkeys, per-group change
+      // rates), interval = span / (versions-1) clamped — version COUNT not
+      // adjacency, so no window over capture history; the one float (the
+      // division) floors into integer space on both engines
+      val g = col("doc_id") % 40
+      val i = floor(col("doc_id") / lit(40))
+      val hist = t(s, dir, "documents").select(
+        concat(lit("k"), g.cast("string")).as("urlkey"),
+        (lit(1700000000L) + col("doc_id") * 37).as("ts"),
+        concat(lit("d"), g.cast("string"), lit("_"),
+          floor(i / (g % 4 + 1)).cast("long").cast("string")).as("digest"))
+      graft.frontier.Recrawl.schedule(hist, "urlkey", "ts", "digest")
+        .orderBy("urlkey")
+    }),
+
     "q82_bm25" -> ((s, dir) => {
       // BM25 corpus search (TextOps.bm25ScoreMicro): per-doc score against
       // a fixed 3-term query, Lucene smooth-idf, k1=1.2 b=0.75; every
@@ -1929,6 +1946,25 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q83_recrawl_schedule" -> {
+      // same aggregation + floored-div clamp arithmetic
+      """WITH h AS (
+        |  SELECT 'k' || (doc_id % 40) AS urlkey,
+        |         1700000000 + doc_id * 37 AS ts,
+        |         'd' || (doc_id % 40) || '_' ||
+        |           CAST(floor(floor(doc_id / 40) / (doc_id % 40 % 4 + 1)) AS BIGINT) AS digest
+        |  FROM documents),
+        |a AS (SELECT urlkey, count(*) AS n_caps, count(DISTINCT digest) AS n_versions,
+        |             min(ts) AS first_ts, max(ts) AS last_ts
+        |      FROM h GROUP BY urlkey),
+        |c AS (SELECT *, greatest(3600, least(2592000,
+        |        CAST(floor((last_ts - first_ts) / greatest(n_versions - 1, 1)) AS BIGINT)))
+        |        AS interval_s FROM a)
+        |SELECT urlkey, n_caps, n_versions, first_ts, last_ts, interval_s,
+        |       last_ts + interval_s AS next_due
+        |FROM c ORDER BY urlkey""".stripMargin
     },
 
     "q82_bm25" -> {

@@ -124,6 +124,24 @@ class CrawlSpec extends SparkSpec {
     assert(b0 > p0, s"boost did not shift round-1 mass to host0: plain=$p0 boosted=$b0")
   }
 
+  test("Recrawl.schedule: change-rate intervals, clamps, single-version backoff") {
+    import spark.implicits._
+    val hist = Seq(
+      // fast-changing: 4 versions over 9000 s -> 3000 s interval -> min-clamped
+      ("a", 0L, "v0"), ("a", 3000L, "v1"), ("a", 6000L, "v2"), ("a", 9000L, "v3"),
+      // never changed: interval = whole observed span ("wait at least as long again")
+      ("b", 0L, "s0"), ("b", 50000L, "s0"), ("b", 100000L, "s0"),
+      // slow change over a huge span -> max-clamped
+      ("c", 0L, "x0"), ("c", 10000000L, "x1")).toDF("u", "ts", "d")
+    val got = graft.frontier.Recrawl.schedule(hist, "u", "ts", "d")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_versions"), r.getAs[Long]("interval_s"),
+          r.getAs[Long]("next_due")))).toMap
+    assert(got("a") === ((4L, 3600L, 12600L)))
+    assert(got("b") === ((1L, 100000L, 200000L)))
+    assert(got("c") === ((2L, 2592000L, 12592000L)))
+  }
+
   test("WARC-IP-Address: both records of a pair carry the resolved address (J5)") {
     val (pages, seeds, robots, dopp, cdx) = world(spark)
     val res = Crawl.run(spark, pages, seeds, Some(robots), Some(dopp), Some(cdx), cfg(1),

@@ -161,6 +161,22 @@ class PlanSpec extends SparkSpec {
       "threshold must partial-aggregate map-side (<= k coins per task):\n" + plan.take(1200))
   }
 
+  test("q81/q82/q83: corpus analytics stay windowless with partial aggregation") {
+    val ng = planOf("q81_crossdoc_ngrams")
+    assert(!ng.contains("Window"), "crossDoc regressed to a window:\n" + ng.take(1200))
+    assert(ng.contains("partial_count"),
+      "gram doc-frequency must partial-aggregate:\n" + ng.take(1200))
+    val bm = planOf("q82_bm25")
+    assert(!bm.contains("Window"), "bm25 regressed to a window:\n" + bm.take(1200))
+    assert(bm.contains("BroadcastHashJoin"),
+      "term doc-frequencies must broadcast:\n" + bm.take(1500))
+    val rc = planOf("q83_recrawl_schedule")
+    assert(!rc.contains("Window"),
+      "recrawl must not order capture history in a window:\n" + rc.take(1200))
+    assert(rc.contains("partial_count") || rc.contains("partial_min"),
+      "recrawl aggregation must be partial:\n" + rc.take(1200))
+  }
+
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
     val plan = planOf("q02_agg_returnflag")
     assert(plan.contains("partial_sum"), "no map-side partial agg:\n" + plan.take(1200))
