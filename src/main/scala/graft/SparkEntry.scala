@@ -2019,9 +2019,9 @@ object SparkEntry {
         |    ELSE text END AS raw
         |  FROM documents),
         |n AS (SELECT doc_id, raw,
-        |  regexp_replace(regexp_replace(nfc_normalize(raw),
+        |  nfc_normalize(regexp_replace(regexp_replace(raw,
         |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
-        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS text_norm
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g')) AS text_norm
         |  FROM base)
         |SELECT doc_id, text_norm, text_norm <> raw AS changed
         |FROM n ORDER BY doc_id""".stripMargin

@@ -85,7 +85,11 @@ object CdxIndex {
   def merge(indexes: DataFrame*): DataFrame = {
     require(indexes.nonEmpty, "merge needs at least one index")
     val rest = Seq("original", "mimetype", "statuscode", "length", "offset", "filename")
-    val all = indexes.reduce(_ unionByName _)
+    val fields = Seq("urlkey", "timestamp", "digest") ++ rest
+    // project to the 9 shared fields first: lines() frames carry the extra
+    // cdx_line column while parse() frames don't — a raw unionByName across
+    // the two shapes (the documented master+delta case) would fail analysis
+    val all = indexes.map(_.select(fields.map(col): _*)).reduce(_ unionByName _)
     all.groupBy(col("urlkey"), col("timestamp"), col("digest"))
       .agg(min(struct(rest.map(col): _*)).as("__r"))
       .select(Seq(col("urlkey"), col("timestamp"), col("digest")) ++
@@ -159,8 +163,14 @@ object CdxIndex {
           rows.iterator
         }
       }
+    // materialize ONCE: the mapPartitions above writes shard files as a side
+    // effect, so the returned frame must never re-trigger it (a second
+    // action would truncate-and-rewrite live shards); the eager
+    // localCheckpoint runs the job exactly once and caches the (tiny,
+    // ~lines/blockLines) cluster rows
     val cluster = spark.createDataFrame(blocks)
       .toDF("block_key", "block_ts", "shard", "offset", "length", "seq")
+      .localCheckpoint(true)
     cluster.select(concat_ws("\t",
         col("block_key"), col("block_ts"), col("shard"),
         col("offset").cast("string"), col("length").cast("string"),

@@ -50,7 +50,10 @@ object Compact {
     val winners = cands.groupBy(col(digestCol).as("__dig"))
       .agg(min(struct(col(dateCol).as("d"), col(idCol).as("id"),
         col(uriCol).as("u"))).as("__w"))
-    cands.join(winners, col(digestCol) === col("__dig")).drop("__dig")
+    // null-SAFE join: a null digest is a group like any other — the plain
+    // equi-join would silently drop those candidates from the decision
+    // (neither winner nor revisit = records deleted from a compaction)
+    cands.join(winners, col(digestCol) <=> col("__dig")).drop("__dig")
       .withColumn("is_winner", col(dateCol) === col("__w.d") && col(idCol) === col("__w.id"))
       .withColumn("winner_id", col("__w.id"))
       .withColumn("winner_uri", col("__w.u"))

@@ -19,15 +19,18 @@ object TextOps {
     * residue web text carries; RE2-portable byte-range classes. */
   val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
 
-  /** Web-text normalization (the C4/CCNet-style cleanup pass): Unicode NFC
-    * (codegen `NfcNormalize`, DuckDB `nfc_normalize` is the exact oracle),
-    * then zero-width and control-character removal (tab/newline/CR kept).
-    * Pure codegen chain — narrow, no shuffle, idempotent. */
+  /** Web-text normalization (the C4/CCNet-style cleanup pass): zero-width
+    * and control-character removal (tab/newline/CR kept) FIRST, then
+    * Unicode NFC (codegen `NfcNormalize`, DuckDB `nfc_normalize` is the
+    * exact oracle). Strip-before-compose is load-bearing for idempotence:
+    * a zero-width char BETWEEN a base and its combining mark (e+ZWNJ+acute)
+    * blocks composition, so stripping after NFC would emit a non-NFC
+    * string that a second pass would change. Pure codegen chain — narrow,
+    * no shuffle, idempotent (spec-asserted including that interleaving). */
   def normalizeText(text: Column): Column =
-    regexp_replace(
-      regexp_replace(graft.functions.NfcNormalize.nfc_normalize(text),
-        ZeroWidthPattern, ""),
-      ControlPattern, "")
+    graft.functions.NfcNormalize.nfc_normalize(
+      regexp_replace(regexp_replace(text, ZeroWidthPattern, ""),
+        ControlPattern, ""))
 
   /** Whitespace tokenization (empty-string-safe). */
   def tokens(text: Column): Column =
@@ -298,14 +301,6 @@ object TextOps {
       transform(sequence(lit(0), length(norm) - k), i => norm.substr(i + 1, lit(k))))
   }
 
-  /** Word n-grams as strings.
-    *
-    * PERFORMANCE TRAP: `tokens(text)` appears in the sequence bound AND
-    * inside the transform lambda's slice — Catalyst re-evaluates a
-    * non-attribute subexpression at every reference, so the regex split can
-    * run O(grams) times per document (measured 10 s for a pass that takes
-    * ~1 s staged). Callers on a hot path should stage the token array as an
-    * attribute and use [[wordNgramHashesFromTokens]]. */
   /** Cross-document n-gram duplication report — the corpus-level health
     * metric next to the per-document Gopher signals: for each doc, how many
     * of its DISTINCT word n-grams occur in at least one OTHER document
@@ -314,15 +309,17 @@ object TextOps {
     * tokens contribute their whole token sequence as one gram (the
     * contaminationFlags convention — a verbatim short doc still matches).
     *
-    * Scale shape: per-doc distinct grams explode once; gram document-
-    * frequency is ONE map-side-combinable count; join back + per-doc
-    * aggregate. No windows, no driver state — a boilerplate gram shared by
-    * 10⁸ docs is one dfreq row, not a window partition. */
+    * Scale shape: tokens staged as an attribute (the wordNgrams trap —
+    * inline they'd re-split O(grams) times), per-doc distinct grams explode
+    * once; gram document-frequency is ONE map-side-combinable count; join
+    * back + per-doc aggregate. No windows, no driver state — a boilerplate
+    * gram shared by 10⁸ docs is one dfreq row, not a window partition. */
   def crossDocNgramReport(df: org.apache.spark.sql.DataFrame, idCol: String,
                           textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = df.select(col(idCol).as("id"),
-      explode(array_distinct(wordNgramsFromTokens(tokens(col(textCol)), n))).as("g"))
+    val grams = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(wordNgramsFromTokens(col("__toks"), n))).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
     grams.join(dfreq, "g")
       .groupBy("id")
@@ -358,30 +355,40 @@ object TextOps {
     require(queryTerms.nonEmpty, "query must have at least one term")
     val toksed = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val Seq(nDocs, totalLen) = {
-      val r = toksed.agg(count(lit(1)), sum(col("dl"))).head()
-      Seq(r.getLong(0), r.getLong(1))
-    }
-    val avgdl = totalLen.toDouble / nDocs
+    // the corpus scalars ride a broadcast ONE-ROW frame instead of a driver
+    // action: the whole plan stays lazy (no side caches to mis-time, no NPE
+    // on an empty corpus — zero input rows flow through to an empty output)
+    val stats = broadcast(toksed
+      .agg(count(lit(1)).cast("double").as("__n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+      .withColumn("__one", lit(1)))
     val tf = toksed
       .select(col("id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms.map(lit): _*))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("f"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
-    val idf = log((lit(nDocs.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
     val part = col("f") * (k1 + 1.0) /
-      (col("f") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val perTerm = tf.join(broadcast(dfreq), Seq("term"))
+      (col("f") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    val perTerm = tf.withColumn("__one", lit(1))
+      .join(stats, Seq("__one")).join(broadcast(dfreq), Seq("term"))
       .select(col("id"), round(idf * part * 1e6, 0).cast("long").as("__m"))
-    val out = toksed.select("id")
+    // the id spine prunes to the bare id column (tokenization is elided by
+    // column pruning), so docs without query terms cost a scan, not a parse
+    toksed.select("id")
       .join(perTerm.groupBy("id").agg(sum(col("__m")).as("score_micro")), Seq("id"), "left")
       .select(col("id"), coalesce(col("score_micro"), lit(0L)).as("score_micro"))
-    toksed.unpersist()
-    out
   }
 
+  /** Word n-grams as strings.
+    *
+    * PERFORMANCE TRAP: `tokens(text)` appears in the sequence bound AND
+    * inside the transform lambda's slice — Catalyst re-evaluates a
+    * non-attribute subexpression at every reference, so the regex split can
+    * run O(grams) times per document (measured 10 s for a pass that takes
+    * ~1 s staged). Callers on a hot path should stage the token array as an
+    * attribute and use [[wordNgramHashesFromTokens]]. */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array(concat_ws(" ", t))).otherwise(

@@ -103,6 +103,12 @@ class CdxIndexSpec extends SparkSpec {
     }
     // self-merge is idempotent
     assert(graft.jobs.CdxIndex.merge(b, b).count() === 30)
+    // the documented master+delta case mixes SHAPES: a parse() frame (9
+    // cols) with a lines() frame (10 cols incl. cdx_line) must merge
+    val idxDir = Files.createTempDirectory("cdx-merge-idx").toString
+    graft.jobs.CdxIndex.write(spark, dirA, idxDir)
+    val master = graft.jobs.CdxIndex.parse(spark.read.text(idxDir))
+    assert(graft.jobs.CdxIndex.merge(master, b).count() === 30)
   }
 
   test("zipnum: gzip-member blocks tile the shards; cluster.idx binary-search replays") {

@@ -616,6 +616,11 @@ class PipelineOpsSpec extends SparkSpec {
     val twice = rows.select(
       TextOps.normalizeText(TextOps.normalizeText(col("t"))).as("n")).as[String].collect()
     assert(twice.toSeq === got.toSeq)
+    // the order-of-operations case: a zero-width char BETWEEN base and
+    // combining mark blocks NFC; strip-first still composes in one pass
+    val tricky = Seq("e\u200C\u0301").toDF("t")
+      .select(TextOps.normalizeText(col("t")).as("n")).as[String].head()
+    assert(tricky === "\u00e9")
   }
 
   test("capPerKey: null keys form a group and are capped, not dropped") {
