@@ -588,6 +588,45 @@ object DedupOps {
       hashedNonNull(col(idCol), idCol) === col("__cluster_drop_hid"), "left_anti")
   }
 
+  /** Quality-aware cluster resolution: like [[keepClusterRepresentatives]]
+    * but the kept member of each near-dup cluster is the one with the BEST
+    * `scoreCol` (the RefinedWeb/FineWeb convention — when near-dups differ
+    * in cleanliness, keep the cleanest, not the hash-min vertex). Null
+    * scores lose to any non-null score (staged as −∞); ties break on the
+    * 64-bit id hash — deterministic. The per-cluster argmax is
+    * `max(struct(score, hid))` — map-side combinable, never a window, so a
+    * boilerplate cluster with 10⁷ members stays parallel. */
+  def keepBestClusterRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
+                                     scoreCol: String, aCol: String = "id_a",
+                                     bCol: String = "id_b"): DataFrame = {
+    val reserved = Seq("__hid", "__score", "__best", "cluster_id")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"keepBestClusterRepresentatives: input already has reserved column(s) ${reserved.mkString(", ")}")
+    def hashedNonNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"keepBestClusterRepresentatives: null $what id (nulls would merge " +
+          "unrelated clusters through one phantom hash vertex)")))
+        .otherwise(xxhash64(c))
+    val hashed = pairs.select(hashedNonNull(col(aCol), aCol).as("id_a"),
+      hashedNonNull(col(bCol), bCol).as("id_b"))
+    val comp = connectedComponents(hashed).withColumnRenamed("id", "__hid")
+    val joined = df
+      .withColumn("__hid", hashedNonNull(col(idCol), idCol))
+      .withColumn("__score",
+        coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)))
+      .join(comp, Seq("__hid"), "left")
+    val inCluster = joined.filter(col("cluster_id").isNotNull)
+    val winners = inCluster.groupBy("cluster_id")
+      .agg(max(struct(col("__score").as("s"), col("__hid").as("h"))).as("__best"))
+    val kept = inCluster.join(winners, Seq("cluster_id"))
+      .filter(col("__score") === col("__best.s") && col("__hid") === col("__best.h"))
+      .drop("__best")
+    joined.filter(col("cluster_id").isNull)
+      .unionByName(kept)
+      .drop("__hid", "__score", "cluster_id")
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i). */

@@ -127,6 +127,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("keepBestClusterRepresentatives: argmax-quality survivor, null scores lose") {
+    import spark.implicits._
+    val docs = Seq(("a", 0.2), ("b", 0.9), ("c", 0.5), ("d", 0.1), ("e", 0.1),
+      ("lone", 0.0)).toDF("doc_id", "q")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
+    val kept = DedupOps.keepBestClusterRepresentatives(docs, pairs, "doc_id", "q")
+      .collect().map(_.getString(0)).toSet
+    assert(kept.contains("b"), "best-quality member must survive {a,b,c}")
+    assert(kept.contains("lone") && kept.size === 3)
+    assert(kept.count(Set("d", "e")) === 1) // score tie -> exactly one, by id hash
+    // deterministic under repartitioning
+    val again = DedupOps.keepBestClusterRepresentatives(
+      docs.repartition(5), pairs, "doc_id", "q").collect().map(_.getString(0)).toSet
+    assert(again === kept)
+    // all-null-score cluster still keeps exactly one member
+    val nulls = Seq(("x", null.asInstanceOf[java.lang.Double]),
+      ("y", null.asInstanceOf[java.lang.Double]),
+      ("z", java.lang.Double.valueOf(0.3))).toDF("doc_id", "q")
+    val keptN = DedupOps.keepBestClusterRepresentatives(nulls,
+      Seq(("x", "y")).toDF("id_a", "id_b"), "doc_id", "q")
+      .collect().map(_.getString(0)).toSet
+    assert(keptN.contains("z") && keptN.count(Set("x", "y")) === 1)
+  }
+
   test("ngram jaccard exact mode (maxDocFreq<=0) matches brute force") {
     import spark.implicits._
     val docs = Seq(
