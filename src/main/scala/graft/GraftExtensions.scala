@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_nfc",
       "graft_nfc(text) - Unicode NFC normalization (canonical composition)", 1,
       args => graft.functions.NfcNormalize(args.head))
+    register(ext, "robots_rules",
+      "robots_rules(body) - RFC 9309 robots.txt parse to (user_agent, " +
+        "rule_type, path_prefix) structs", 1,
+      args => graft.functions.RobotsRules(args.head))
     register(ext, "url_resolve",
       "url_resolve(base, ref) - RFC 3986 §5.2 reference resolution (keeps " +
         "the fragment; canonicalize separately)", 2,

@@ -62,4 +62,40 @@ class RobotsSpec extends SparkSpec {
     val other = frontierOf("/x").withColumn("host", lit("nothing.example"))
     assert(Scheduler.robotsFilter(other, rules(("*", "disallow", "/"))).count() === 1)
   }
+
+  test("raw robots.txt parsing (§2.2): groups, comments, empty values, end-to-end gate") {
+    import spark.implicits._
+    val body =
+      """# a comment line
+        |Disallow: /orphan-rule-ignored
+        |
+        |User-agent: GraftBot
+        |User-agent: OtherBot   # two UAs share one group
+        |Disallow: /private/
+        |Allow: /private/ok
+        |Crawl-delay: 5
+        |
+        |User-Agent: *
+        |Disallow: /tmp/*
+        |Disallow:
+        |Allow: /tmp/keep$
+        |""".stripMargin
+    val parsed = Scheduler.parseRobots(
+      Seq(("h.example", body)).toDF("host", "body"))
+    val got = parsed.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got === Set(
+      ("graftbot", "disallow", "/private/"), ("graftbot", "allow", "/private/ok"),
+      ("otherbot", "disallow", "/private/"), ("otherbot", "allow", "/private/ok"),
+      ("*", "disallow", "/tmp/*"), ("*", "allow", "/tmp/keep$")))
+    // end-to-end: parsed rules drive the same gate as hand-built rules
+    val f = frontierOf("/private/x", "/private/ok", "/tmp/a", "/tmp/keep", "/open")
+    assert(allowed(f, parsed, ua = "GraftBot") === Set("/private/ok", "/tmp/a", "/tmp/keep", "/open"))
+    assert(allowed(f, parsed) === Set("/private/x", "/private/ok", "/tmp/keep", "/open"))
+    // a second User-agent AFTER rules opens a NEW group (does not extend)
+    val regroup = Scheduler.parseRobots(Seq(("h.example",
+      "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y")).toDF("host", "body"))
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    assert(regroup === Set(("a", "/x"), ("b", "/y")))
+  }
 }
