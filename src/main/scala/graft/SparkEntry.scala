@@ -931,6 +931,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q84_sitemap_extract" -> ((s, dir) => {
+      // sitemap seed discovery (TextOps.extractSitemapUrls): synthetic
+      // <urlset> per doc with entity-escaped query strings, whitespace
+      // padding, and non-loc elements; the oracle replays the SAME
+      // single-sourced pattern + unescape chain
+      val d = col("doc_id").cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> http://s"), d,
+        lit(".example/p?a=1&amp;b=2 </loc></url><url><loc>http://s"), d,
+        lit(".example/q</loc></url><lastmod>2024-01-01</lastmod></urlset>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          explode(graft.ops.TextOps.extractSitemapUrls(xml)).as("url"))
+        .orderBy("doc_id", "url")
+    }),
+
     "q83_recrawl_schedule" -> ((s, dir) => {
       // adaptive revisit policy (frontier/Recrawl.schedule): capture
       // history synthesized from documents (40 urlkeys, per-group change
@@ -1946,6 +1961,22 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q84_sitemap_extract" -> {
+      // same pattern + ordered replace chain (&amp; LAST)
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    '<?xml version="1.0"?><urlset><url><loc> http://s' || doc_id ||
+        |    '.example/p?a=1&amp;b=2 </loc></url><url><loc>http://s' || doc_id ||
+        |    '.example/q</loc></url><lastmod>2024-01-01</lastmod></urlset>' AS xml
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(xml, '(?is)<loc>\s*(.*?)\s*</loc>', 1)) AS raw
+        |      FROM x)
+        |SELECT doc_id, replace(replace(replace(replace(replace(raw,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS url
+        |FROM u ORDER BY doc_id, url""".stripMargin
     },
 
     "q83_recrawl_schedule" -> {

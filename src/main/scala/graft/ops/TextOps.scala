@@ -473,6 +473,35 @@ object TextOps {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit(LinkAttrPattern), lit(1))
 
+  /** `<loc>` contents of a sitemaps.org XML document (urlset or
+    * sitemapindex — both use `<loc>`), in document order. Single-sourced
+    * into the q84 oracle. CDATA-wrapped locs are out of scope (documented:
+    * rare in practice; plain-text locs are the sitemaps.org examples). */
+  val SitemapLocPattern = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+
+  /** ORDERED literal pairs that UNDO the five XML entity escapes —
+    * `&amp;` LAST, so a literal `&amp;lt;` decodes to `&lt;`, not `<`
+    * (the inverse discipline of [[JsonEscapeChain]]). Single-sourced into
+    * the q84 oracle. */
+  val XmlUnescapeChain: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  /** Sitemap URL extraction (the crawl's seed-discovery producer): `<loc>`
+    * values, entity-decoded, as array<string>. Pure codegen regexp +
+    * literal-replace chain — narrow, no shuffle. Works on both urlset
+    * leaves and sitemapindex documents (use [[isSitemapIndex]] to route
+    * index results back into fetching instead of the frontier). */
+  def extractSitemapUrls(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit(SitemapLocPattern), lit(1)),
+      u => XmlUnescapeChain.foldLeft(u) { case (acc, (s, r)) =>
+        replace(acc, lit(s), lit(r)) })
+
+  /** True when the document is a sitemap INDEX (its locs are more sitemaps,
+    * not page URLs). */
+  def isSitemapIndex(xml: Column): Column =
+    xml.rlike("(?i)<\\s*sitemapindex[\\s>]")
+
   /** ORDERED literal (search, replacement) pairs that JSON-escape a string —
     * backslash FIRST (escaping an already-minted escape would corrupt it),
     * then quote, then the C0 whitespace controls. Literal `replace`, not

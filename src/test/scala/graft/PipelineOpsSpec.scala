@@ -569,6 +569,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped16.select("id").as[Long].collect().toSet === ref)
   }
 
+  test("extractSitemapUrls: loc extraction, entity decode order, index detection") {
+    import spark.implicits._
+    val urlset = "<urlset>\n<url>\n  <loc>\r\n  http://a.example/?x=1&amp;y=2 \n</loc>\n</url>" +
+      "<url><loc>http://b.example/lit&amp;lt;tag</loc></url>" +
+      "<url><lastmod>2024-01-01</lastmod></url></urlset>"
+    val idx = "<sitemapindex><sitemap><loc>http://a.example/s1.xml</loc></sitemap></sitemapindex>"
+    val rows = Seq(urlset, idx, "no locs here", "").toDF("x")
+      .select(TextOps.extractSitemapUrls(col("x")).as("u"),
+        TextOps.isSitemapIndex(col("x")).as("i"))
+      .collect()
+    assert(rows(0).getSeq[String](0) === Seq(
+      "http://a.example/?x=1&y=2",   // entities decoded, whitespace trimmed
+      "http://b.example/lit&lt;tag")) // &amp;lt; -> &lt; (amp decoded LAST)
+    assert(!rows(0).getBoolean(1))
+    assert(rows(1).getSeq[String](0) === Seq("http://a.example/s1.xml"))
+    assert(rows(1).getBoolean(1), "sitemapindex must be detected")
+    assert(rows(2).getSeq[String](0).isEmpty && rows(3).getSeq[String](0).isEmpty)
+  }
+
   test("bm25ScoreMicro matches an independent in-test reference") {
     import spark.implicits._
     val docs = Seq(
