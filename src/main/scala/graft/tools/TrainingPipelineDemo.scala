@@ -19,10 +19,17 @@ object TrainingPipelineDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.web.SyntheticWeb
 
-    // 1) crawl: schedule -> fetch -> three-tier dedup -> warc rows
+    // 1) crawl: schedule -> fetch -> three-tier dedup -> warc rows.
+    // Robots arrive as RAW per-host robots.txt bodies (the form a crawl
+    // actually fetches) and go through the RFC 9309 group parser into the
+    // gate's structured shape — the producer side of the robots pipeline
     val n = 400L
+    val robotsRaw = SyntheticWeb.robots(spark).select(col("host"),
+      concat(lit("# synthetic robots\nUser-agent: *\nDisallow: "),
+        col("path_prefix")).as("body"))
+    val robotsRules = graft.frontier.Scheduler.parseRobots(robotsRaw)
     val crawl = graft.jobs.Crawl.run(spark, SyntheticWeb.pages(spark, n),
-      SyntheticWeb.seeds(spark, 120, n), Some(SyntheticWeb.robots(spark)),
+      SyntheticWeb.seeds(spark, 120, n), Some(robotsRules),
       None, None,
       graft.jobs.Crawl.Config(maxRounds = 2, perHostBudget = 40, numSlots = 8,
         dedupSizeThreshold = 32, numShards = 4))
@@ -75,6 +82,14 @@ object TrainingPipelineDemo {
       (col("timestamp").cast("long") + 5).as("ts")).limit(5)
     println(s"cdx lookup: ${graft.jobs.CdxIndex.nearestCaptures(cdxParsed, lookups).count()} " +
       "nearest captures resolved")
+    // ... and the maintenance side: an adaptive recrawl schedule from the
+    // same capture history (single-crawl history -> min-interval clamp)
+    val recrawlDue = graft.frontier.Recrawl.schedule(
+      cdxParsed.select(col("urlkey"),
+        unix_timestamp(to_timestamp(col("timestamp"), "yyyyMMddHHmmss")).as("ts"),
+        col("digest")), "urlkey", "ts", "digest")
+    println(s"recrawl: ${recrawlDue.count()} urls scheduled, min interval " +
+      s"${recrawlDue.agg(min("interval_s")).head().getLong(0)} s")
 
     // 3d-ii) zipnum: the sharded secondary index over the same CDX (what a
     // wayback front-end binary-searches at 100 TB scale)
@@ -104,6 +119,15 @@ object TrainingPipelineDemo {
       iterations = 5)
     val top = hostRanks.orderBy(desc("rank")).limit(1).collect().head
     println(f"pagerank: ${hostRanks.count()} hosts ranked, top=${top.getString(0)}@${top.getDouble(1)}%.3f")
+
+    // 3f) per-domain frequency cap (the RefinedWeb rule) over the scanned
+    // archive — exact via the bounded kth-smallest aggregate, no hot-host window
+    val hosted = spark.read.format("graft.sources.WarcDataSource").load(warcDir)
+      .filter(col("warc_type") === "response")
+      .select(col("record_id").as("doc_id"),
+        parse_url(col("target_uri"), lit("HOST")).as("domain"))
+    val capped = graft.ops.PipelineOps.capPerKey(hosted, "domain", "doc_id", 3)
+    println(s"domain cap: ${hosted.count()} -> ${capped.count()} docs at <= 3 per host")
 
     // 4) dedup: exact fingerprints + near-dup pairs -> connected components
     val uniq = docs.withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
