@@ -931,6 +931,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q85_exact_substring" -> ((s, dir) => {
+      // UNALIGNED exact-substring dedup (DedupOps.exactSubstringDedup, the
+      // Lee-et-al ExactSubstr semantics): duplicated 8-token runs keep
+      // their first (doc_id, pos) occurrence, every other occurrence is
+      // excised at any alignment; md5 shingle keys replay in the oracle,
+      // the pick is row_number over the identical total order
+      graft.ops.DedupOps.exactSubstringDedup(
+          t(s, dir, "documents"), "doc_id", "text", minTokens = 8)
+        .select(col("id").as("doc_id"), col("text"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
     "q84_sitemap_extract" -> ((s, dir) => {
       // sitemap seed discovery (TextOps.extractSitemapUrls): synthetic
       // <urlset> per doc with entity-escaped query strings, whitespace
@@ -1961,6 +1973,35 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q85_exact_substring" -> {
+      // same shingle keys (md5 of the space-joined 8-slice; DuckDB list
+      // slicing is INCLUSIVE: t[i:i+7] = 8 elements), same (doc_id, pos)
+      // first-occurrence order, k-cover removal replayed via NOT EXISTS
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, i - 1 AS p, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+        |       WHERE len(t) >= 8),
+        |m AS (SELECT doc_id, p,
+        |             row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn,
+        |             count(*) OVER (PARTITION BY h) AS cnt
+        |      FROM sh),
+        |dups AS (SELECT doc_id, p FROM m WHERE cnt >= 2 AND rn > 1),
+        |pos AS (SELECT doc_id, i - 1 AS i, t[i] AS tok
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+        |keptpos AS (
+        |  SELECT pos.doc_id, pos.i, pos.tok FROM pos
+        |  WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = pos.doc_id
+        |                    AND pos.i BETWEEN d.p AND d.p + 7)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+        |               count(*) AS n_kept
+        |        FROM keptpos GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text, '') AS text,
+        |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
     },
 
     "q84_sitemap_extract" -> {

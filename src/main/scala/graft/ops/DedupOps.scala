@@ -588,6 +588,54 @@ object DedupOps {
       hashedNonNull(col(idCol), idCol) === col("__cluster_drop_hid"), "left_anti")
   }
 
+  /**
+   * UNALIGNED exact-substring dedup (the Lee et al. 2022 "Deduplicating
+   * Training Data Makes LMs Better" ExactSubstr semantics at shingle
+   * resolution): any token run of ≥ `minTokens` that occurs elsewhere in
+   * the corpus — at ANY alignment, across or within documents — keeps its
+   * FIRST occurrence (total order (ord, pos)) and is excised everywhere
+   * else. Strictly stronger than [[chunkDedup]]: a duplicated run of
+   * length ≥ k contains a duplicated k-shingle at every offset, so marking
+   * the non-first duplicated shingle STARTS and removing their k-token
+   * covers excises exactly the duplicated runs, no suffix array needed.
+   *
+   * Scale shape: positional shingle keys (md5 of the space-joined slice —
+   * the oracle-portable key, q85) explode once; first-occurrence is
+   * `min(struct(ord, pos))` — map-side combinable, NEVER a window over the
+   * shingle group (boilerplate shingles are the hot keys, the chunkDedup
+   * lesson); the removal mask is a doc-local HOF over the (bounded)
+   * per-doc duplicate-start list. `ord` must be unique per document (the
+   * first-occurrence tiebreak); md5 collisions are cryptographically
+   * negligible and would only over-remove.
+   */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int = 50, orderCol: String = null): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val ord = Option(orderCol).getOrElse(idCol)
+    val toksed = df.select(col(idCol).as("id"), col(ord).as("ord"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val shingled = toksed.filter(size(col("toks")) >= k)
+      .select(col("id"), col("ord"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val firsts = shingled.groupBy("h")
+      .agg(min(struct(col("ord"), col("p"))).as("f"), count(lit(1)).as("cnt"))
+    val dups = shingled.join(firsts, Seq("h"))
+      .filter(col("cnt") >= 2 &&
+        !(col("ord") === col("f.ord") && col("p") === col("f.p")))
+      .groupBy("id").agg(sort_array(collect_list(col("p"))).as("__dpos"))
+    toksed.join(dups, Seq("id"), "left")
+      .withColumn("__kept",
+        when(col("__dpos").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(col("__dpos"), q => q <= i && i < q + k))))
+      .select(col("id"),
+        concat_ws(" ", col("__kept")).as("text"),
+        (size(col("toks")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Quality-aware cluster resolution: like [[keepClusterRepresentatives]]
     * but the kept member of each near-dup cluster is the one with the BEST
     * `scoreCol` (the RefinedWeb/FineWeb convention — when near-dups differ

@@ -151,6 +151,61 @@ class DedupOpsSpec extends SparkSpec {
     assert(keptN.contains("z") && keptN.count(Set("x", "y")) === 1)
   }
 
+  /** Independent reference for exactSubstringDedup (same semantics, plain
+    * Scala): duplicated k-shingles, first (ord=id, pos) kept, k-covers of
+    * non-first starts removed. */
+  private def exactSubstrRef(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+    val shingles = for {
+      (id, ts) <- toks if ts.size >= k
+      p <- 0 to ts.size - k
+    } yield (ts.slice(p, p + k).mkString(" "), id, p)
+    val dupStarts = shingles.groupBy(_._1).values.filter(_.size >= 2)
+      .flatMap(_.sortBy(x => (x._2, x._3)).tail.map(x => (x._2, x._3))).toSet
+    toks.map { case (id, ts) =>
+      val dpos = dupStarts.collect { case (i, p) if i == id => p }
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !dpos.exists(q => q <= i && i < q + k) => t
+      }
+      id -> ((kept.mkString(" "), (ts.size - kept.size).toLong))
+    }.toMap
+  }
+
+  test("exactSubstringDedup: UNALIGNED repeats excised, first kept (vs brute force)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),           // first occurrence of "c d e f"
+      (2L, "x x c d e f y z"),           // same run at a DIFFERENT alignment
+      (3L, "m n o p m n o p m n o p"),   // self-repetition within one doc
+      (4L, "short doc"),                 // < k tokens: untouched
+      (5L, ""))                          // empty: untouched
+    val got = DedupOps.exactSubstringDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val want = exactSubstrRef(docs, 4)
+    assert(got === want)
+    // the headline property chunkDedup cannot deliver: doc 2's unaligned
+    // copy of "c d e f" is gone, doc 1's original survives
+    assert(got(1L)._1 === "a b c d e f g h")
+    assert(!got(2L)._1.contains("c d e f") && got(2L)._2 === 4L)
+    assert(got(3L)._2 === 8L, "self-repetition keeps only the first run")
+    assert(got(4L) === (("short doc", 0L)) && got(5L) === (("", 0L)))
+  }
+
+  test("exactSubstringDedup: randomized corpus matches brute force") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus from a tiny vocab forces repeats
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("v0", "v1", "v2", "v3", "v4")
+    val docs = (0L until 30L).map { i =>
+      i -> Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = DedupOps.exactSubstringDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === exactSubstrRef(docs, 5))
+  }
+
   test("ngram jaccard exact mode (maxDocFreq<=0) matches brute force") {
     import spark.implicits._
     val docs = Seq(

@@ -177,6 +177,14 @@ class PlanSpec extends SparkSpec {
       "recrawl aggregation must be partial:\n" + rc.take(1200))
   }
 
+  test("q85: exact-substring dedup picks first occurrences via partial min, no shingle window") {
+    val plan = planOf("q85_exact_substring")
+    assert(!plan.contains("Window"),
+      "first-occurrence regressed to a window over shingle groups:\n" + plan.take(1200))
+    assert(plan.contains("partial_min"),
+      "first-occurrence must be the map-side-combinable min(struct):\n" + plan.take(1200))
+  }
+
   test("q02: aggregation is partial (map-side combine), one hash-exchange") {
     val plan = planOf("q02_agg_returnflag")
     assert(plan.contains("partial_sum"), "no map-side partial agg:\n" + plan.take(1200))
