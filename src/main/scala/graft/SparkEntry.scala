@@ -938,7 +938,8 @@ object SparkEntry {
       // excised at any alignment; md5 shingle keys replay in the oracle,
       // the pick is row_number over the identical total order
       graft.ops.DedupOps.exactSubstringDedup(
-          t(s, dir, "documents"), "doc_id", "text", minTokens = 8)
+          t(s, dir, "documents"), "doc_id", "text", minTokens = 8,
+          portableKeys = true)
         .select(col("id").as("doc_id"), col("text"), col("n_dropped"))
         .orderBy("doc_id")
     }),

@@ -146,6 +146,40 @@ object SketchUtil {
     * DISTINCT hash set equals the min over the multiset. Lets the
     * signature and the exact-verification branch share ONE staged
     * array<long> instead of re-deriving shingle strings per branch. */
+  /** See [[RollingTokenHashes]]: O(n) k-token-window rolling hashes. */
+  def rollingTokenHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 0x100000001b3L // FNV prime as the polynomial base (odd -> unit mod 2^64)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // FNV-1a over the token's UTF-8 bytes
+      val t = toks.getUTF8String(i)
+      var acc = 0xcbf29ce484222325L
+      var b = 0
+      val nb = t.numBytes()
+      while (b < nb) { acc = (acc ^ (t.getByte(b) & 0xffL)) * B; b += 1 }
+      h(i) = acc
+      i += 1
+    }
+    var bk1 = 1L
+    var j = 0
+    while (j < k - 1) { bk1 *= B; j += 1 } // B^(k-1), wrapping
+    val out = new Array[Long](n - k + 1)
+    var r = 0L
+    j = 0
+    while (j < k) { r = r * B + h(j); j += 1 }
+    out(0) = r
+    var p = 1
+    while (p <= n - k) {
+      r = (r - h(p - 1) * bk1) * B + h(p + k - 1)
+      out(p) = r
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSigFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -254,6 +288,26 @@ case class XxShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "xx_shingle_hashes"
 }
 
+/** `rolling_token_hashes(tokens, k)`: 64-bit rolling polynomial hashes of
+  * every k-TOKEN window of a token array, O(n) total — vs O(n·k) for a
+  * per-window digest. Per-token FNV-1a base hashes combine as
+  * Σ h[p+j]·B^(k−1−j) with natural 2⁶⁴ wrap; the window slides as
+  * r' = (r − h[p]·B^(k−1))·B + h[p+k]. The FAST shingle key for
+  * exactSubstringDedup's scale path (the q23-vs-q57 fast/portable split);
+  * equal windows always hash equal, unequal windows collide at ~2⁻⁶⁴.
+  * Arrays shorter than k yield an empty array. */
+case class RollingTokenHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "window size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    SketchUtil.rollingTokenHashes(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchUtil.rollingTokenHashes($a, $k);")
+  override protected def withNewChildInternal(c: Expression): RollingTokenHashes = copy(child = c)
+  override def prettyName: String = "rolling_token_hashes"
+}
+
 /** `minhash_sig_from_hashes(hashes, n)`: n-slot MinHash signature from
   * pre-hashed shingles (see [[SketchUtil.minhashSigFromHashes]]). */
 case class MinHashSigFromHashes(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -277,6 +331,8 @@ object SketchExprs {
     Bridge.column(PortableShingleHashes(Bridge.expression(text), k))
   def xx_shingle_hashes(text: Column, k: Int): Column =
     Bridge.column(XxShingleHashes(Bridge.expression(text), k))
+  def rolling_token_hashes(tokens: Column, k: Int): Column =
+    Bridge.column(RollingTokenHashes(Bridge.expression(tokens), k))
   def minhash_sig_from_hashes(hashes: Column, numHashes: Int): Column =
     Bridge.column(MinHashSigFromHashes(Bridge.expression(hashes), numHashes))
 }

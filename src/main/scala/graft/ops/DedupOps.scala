@@ -609,16 +609,23 @@ object DedupOps {
    * negligible and would only over-remove.
    */
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
-                          minTokens: Int = 50, orderCol: String = null): DataFrame = {
+                          minTokens: Int = 50, orderCol: String = null,
+                          portableKeys: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val k = minTokens
     val ord = Option(orderCol).getOrElse(idCol)
     val toksed = df.select(col(idCol).as("id"), col(ord).as("ord"),
       TextOps.tokens(col(textCol)).as("toks"))
-    val shingled = toksed.filter(size(col("toks")) >= k)
-      .select(col("id"), col("ord"), posexplode(
+    // fast path (default): O(n) rolling polynomial window hashes; portable
+    // path: md5 of the joined slice, O(n·k) but replayable in the DuckDB
+    // oracle (q85) — the q23-vs-q57 fast/portable split
+    val keys =
+      if (portableKeys)
         transform(sequence(lit(0), size(col("toks")) - k),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+      else graft.functions.SketchExprs.rolling_token_hashes(col("toks"), k)
+    val shingled = toksed.filter(size(col("toks")) >= k)
+      .select(col("id"), col("ord"), posexplode(keys))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
     val firsts = shingled.groupBy("h")
       .agg(min(struct(col("ord"), col("p"))).as("f"), count(lit(1)).as("cnt"))

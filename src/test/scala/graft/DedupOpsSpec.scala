@@ -204,6 +204,43 @@ class DedupOpsSpec extends SparkSpec {
       "doc_id", "text", minTokens = 5)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(got === exactSubstrRef(docs, 5))
+    // the O(n) rolling fast path and the O(n·k) portable md5 path agree
+    val portable = DedupOps.exactSubstringDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minTokens = 5, portableKeys = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(portable === got)
+  }
+
+  test("rolling_token_hashes: window equality iff token equality (vs direct poly)") {
+    import spark.implicits._
+    import graft.functions.SketchExprs.rolling_token_hashes
+    val rnd = new scala.util.Random(7)
+    val arrs = (0 until 20).map(_ =>
+      Seq.fill(3 + rnd.nextInt(15))(s"t${rnd.nextInt(4)}"))
+    val k = 3
+    val got = arrs.map(_.mkString(" ")).toDF("s")
+      .select(rolling_token_hashes(graft.ops.TextOps.tokens(col("s")), k).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    // direct O(n*k) reference with the same base hashes
+    def fnv(s: String): Long = s.getBytes("UTF-8")
+      .foldLeft(0xcbf29ce484222325L)((a, b) => (a ^ (b & 0xffL)) * 0x100000001b3L)
+    val B = 0x100000001b3L
+    arrs.zip(got).foreach { case (ts, hs) =>
+      if (ts.size < k) assert(hs.isEmpty)
+      else {
+        val want = (0 to ts.size - k).map(p =>
+          ts.slice(p, p + k).map(fnv).foldLeft(0L)((r, h) => r * B + h))
+        assert(hs.toSeq === want, ts.toString)
+      }
+    }
+    // equality structure: same window <-> same hash across all arrays
+    val windows = arrs.filter(_.size >= k).flatMap(ts =>
+      (0 to ts.size - k).map(p => ts.slice(p, p + k)))
+    val hashes = arrs.filter(_.size >= k).zip(
+      got.filter(_ => true).filter(_.nonEmpty)).flatMap(_._2)
+    windows.zip(hashes).groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).distinct.size === 1, "equal windows must hash equal")
+    }
   }
 
   test("ngram jaccard exact mode (maxDocFreq<=0) matches brute force") {
