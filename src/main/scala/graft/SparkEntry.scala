@@ -931,6 +931,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q86_degree_report" -> ((s, dir) => {
+      // link-graph degree/reciprocity report (GraphOps.degreeReport) on the
+      // same 41-host synthetic graph as q76 — out/in degrees and the
+      // reciprocal-edge count (the link-farm signal); oracle replays the
+      // dedup + reverse-semi-join relationally
+      val docs = t(s, dir, "documents")
+      val edges = docs.select((col("doc_id") % 41).as("src"),
+          ((col("doc_id") * 7 + 3) % 41).as("dst"))
+        .union(docs.select((col("doc_id") % 41).as("src"),
+          ((col("doc_id") * 13 + 5) % 41).as("dst")))
+      graft.ops.GraphOps.degreeReport(edges, "src", "dst").orderBy("node")
+    }),
+
     "q85_exact_substring" -> ((s, dir) => {
       // UNALIGNED exact-substring dedup (DedupOps.exactSubstringDedup, the
       // Lee-et-al ExactSubstr semantics): duplicated 8-token runs keep
@@ -1974,6 +1987,28 @@ object SparkEntry {
         |       urlkey || ' 20231114221320 ' || original || ' text/html ' || statuscode
         |         || ' ' || digest || ' - - ' || length || ' ' || "offset" || ' ' || filename AS cdx_line
         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q86_degree_report" -> {
+      // same edge construction; reciprocity via EXISTS of the reversed edge
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 41 AS src, (doc_id * 7 + 3) % 41 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 41, (doc_id * 13 + 5) % 41 FROM documents)),
+        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        |o AS (SELECT src AS node, count(*) AS c FROM e GROUP BY src),
+        |i AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY dst),
+        |r AS (SELECT e.src AS node, count(*) AS c FROM e
+        |      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+        |      GROUP BY e.src)
+        |SELECT n.node,
+        |       CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+        |       CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg,
+        |       CAST(coalesce(r.c, 0) AS BIGINT) AS reciprocal
+        |FROM nodes n LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+        |             LEFT JOIN r USING (node)
+        |ORDER BY n.node""".stripMargin
     },
 
     "q85_exact_substring" -> {

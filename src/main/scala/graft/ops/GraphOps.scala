@@ -59,6 +59,26 @@ object GraphOps {
       .drop("__pr_host", "__pr")
   }
 
+  /** Per-node degree report with reciprocity — the classic link-spam
+    * signal set (link farms show high reciprocity and out/in imbalance):
+    * `(node, out_deg, in_deg, reciprocal)` over the deduped directed edge
+    * set, where `reciprocal` counts this node's out-edges whose reverse
+    * edge also exists. One self-semi-join on the reversed edges + two
+    * map-side-combinable counts; no windows. */
+  def degreeReport(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("reciprocal"))
+    outDeg.join(inDeg, Seq("node"), "full").join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"))
+  }
+
   /** PageRank by power iteration, the standard simplified formulation:
     *
     *   r₀(v) = 1.0

@@ -87,6 +87,20 @@ class GraphOpsSpec extends SparkSpec {
       === frontier.columns.toSeq)
   }
 
+  test("degreeReport: out/in degrees and reciprocal counts on a hand graph") {
+    import spark.implicits._
+    // a<->b reciprocal; a->c one-way; c->c self-loop (reciprocal with itself);
+    // duplicate edge collapses
+    val e = Seq("a" -> "b", "b" -> "a", "a" -> "c", "c" -> "c", "a" -> "b")
+      .toDF("s", "d")
+    val got = GraphOps.degreeReport(e, "s", "d").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((2L, 1L, 1L))) // out: b,c; in: b; reciprocal: a->b
+    assert(got("b") === ((1L, 1L, 1L)))
+    assert(got("c") === ((1L, 2L, 1L))) // self-loop is its own reverse
+  }
+
   test("hostEdges canonicalizes, drops self-loops, dedupes") {
     import spark.implicits._
     val links = Seq(
