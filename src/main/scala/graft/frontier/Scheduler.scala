@@ -62,6 +62,19 @@ object Scheduler {
         org.apache.spark.sql.graft.Bridge.expression(str),
         org.apache.spark.sql.graft.Bridge.expression(pattern), '\\'))
 
+  /** Raw robots.txt bodies → the structured rules frame [[robotsFilter]]
+    * consumes: `(hostCol, bodyCol)` in, `(host, user_agent, rule_type,
+    * path_prefix)` out. Parsing is the codegen `robots_rules` expression
+    * (group structure is sequential WITHIN a body, so it runs per-host-row —
+    * narrow, no shuffle); hosts whose body yields no rules produce no rows
+    * (= allow-all downstream). */
+  def parseRobots(bodies: DataFrame, hostCol: String = "host",
+                  bodyCol: String = "body"): DataFrame =
+    bodies.select(col(hostCol).as("host"),
+      explode(graft.functions.RobotsRules.robots_rules(col(bodyCol))).as("r"))
+      .select(col("host"), col("r.user_agent").as("user_agent"),
+        col("r.rule_type").as("rule_type"), col("r.path_prefix").as("path_prefix"))
+
   /**
    * RFC 9309 gate: a URL is fetchable unless the most specific matching rule
    * for its host disallows it. Rules are tiny (per-host config) -> broadcast
@@ -78,19 +91,6 @@ object Scheduler {
    *  - group selection: the host's rules for `userAgent` when any exist,
    *    otherwise its `*` group; no rules at all -> allow
    */
-  /** Raw robots.txt bodies → the structured rules frame [[robotsFilter]]
-    * consumes: `(hostCol, bodyCol)` in, `(host, user_agent, rule_type,
-    * path_prefix)` out. Parsing is the codegen `robots_rules` expression
-    * (group structure is sequential WITHIN a body, so it runs per-host-row —
-    * narrow, no shuffle); hosts whose body yields no rules produce no rows
-    * (= allow-all downstream). */
-  def parseRobots(bodies: DataFrame, hostCol: String = "host",
-                  bodyCol: String = "body"): DataFrame =
-    bodies.select(col(hostCol).as("host"),
-      explode(graft.functions.RobotsRules.robots_rules(col(bodyCol))).as("r"))
-      .select(col("host"), col("r.user_agent").as("user_agent"),
-        col("r.rule_type").as("rule_type"), col("r.path_prefix").as("path_prefix"))
-
   def robotsFilter(frontier: DataFrame, robots: DataFrame,
                    userAgent: String = "*"): DataFrame = {
     val likePat = {

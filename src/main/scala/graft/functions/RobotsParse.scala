@@ -39,7 +39,11 @@ object RobotsParseUtil {
     val out = ArrayBuffer.empty[(String, String, String)]
     var group = List.empty[String]
     var lastWasRule = false
-    body.split("\r?\n", -1).foreach { raw =>
+    // BOM stripped (a BOM-prefixed 'User-agent' would read as an unknown
+    // directive and silently drop the whole group — failing OPEN); §2.1
+    // allows bare-CR line terminators, so split on all three conventions
+    val noBom = if (body.startsWith("\uFEFF")) body.substring(1) else body
+    noBom.split("\r\n|\r|\n", -1).foreach { raw =>
       val hash = raw.indexOf('#')
       val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
       if (line.nonEmpty) {

@@ -614,8 +614,21 @@ object DedupOps {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val k = minTokens
     val ord = Option(orderCol).getOrElse(idCol)
-    val toksed = df.select(col(idCol).as("id"), col(ord).as("ord"),
+    // loud null guard (the cluster-ops convention): a null ord would sort
+    // FIRST in min(struct) — claiming first-occurrence for every shingle it
+    // contains — while its own rows never equi-join back for removal
+    def nonNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"exactSubstringDedup: null $what (would corrupt first-occurrence " +
+          "selection and skip removal)"))).otherwise(c)
+    // repartition(id) stages the tokenized frame behind ONE exchange that
+    // BOTH consumers (the shingle pipeline and the output join) reuse —
+    // without it the source scan + tokenization runs twice (the q23
+    // self-join lesson)
+    val toksed = df.select(nonNull(col(idCol), "id").as("id"),
+      nonNull(col(ord), "order column").as("ord"),
       TextOps.tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
     // fast path (default): O(n) rolling polynomial window hashes; portable
     // path: md5 of the joined slice, O(n·k) but replayable in the DuckDB
     // oracle (q85) — the q23-vs-q57 fast/portable split
@@ -658,6 +671,11 @@ object DedupOps {
       .filter(df.columns.contains)
     require(reserved.isEmpty,
       s"keepBestClusterRepresentatives: input already has reserved column(s) ${reserved.mkString(", ")}")
+    // NaN sorts ABOVE every real double in Spark's ordering — an undefined
+    // score (0.0/0.0 upstream) would WIN the argmax; demote it with null
+    def scoreOrNegInf(c: Column): Column =
+      coalesce(nanvl(c.cast("double"), lit(Double.NegativeInfinity)),
+        lit(Double.NegativeInfinity))
     def hashedNonNull(c: Column, what: String): Column =
       when(c.isNull, raise_error(lit(
         s"keepBestClusterRepresentatives: null $what id (nulls would merge " +
@@ -668,8 +686,7 @@ object DedupOps {
     val comp = connectedComponents(hashed).withColumnRenamed("id", "__hid")
     val joined = df
       .withColumn("__hid", hashedNonNull(col(idCol), idCol))
-      .withColumn("__score",
-        coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)))
+      .withColumn("__score", scoreOrNegInf(col(scoreCol)))
       .join(comp, Seq("__hid"), "left")
     val inCluster = joined.filter(col("cluster_id").isNotNull)
     val winners = inCluster.groupBy("cluster_id")

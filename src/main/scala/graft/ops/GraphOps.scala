@@ -66,7 +66,11 @@ object GraphOps {
     * edge also exists. One self-semi-join on the reversed edges + two
     * map-side-combinable counts; no windows. */
   def degreeReport(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // null endpoints dropped (the hostEdges convention): a "null node" has
+    // no meaningful degree, and the full-outer join below would split it
+    // into two node=null rows (null keys never match)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
     val inDeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
     val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),

@@ -149,6 +149,12 @@ class DedupOpsSpec extends SparkSpec {
       Seq(("x", "y")).toDF("id_a", "id_b"), "doc_id", "q")
       .collect().map(_.getString(0)).toSet
     assert(keptN.contains("z") && keptN.count(Set("x", "y")) === 1)
+    // NaN sorts above every double in Spark — it must LOSE, not win
+    val nan = Seq(("p", Double.NaN), ("r", 0.4)).toDF("doc_id", "q")
+    val keptNaN = DedupOps.keepBestClusterRepresentatives(nan,
+      Seq(("p", "r")).toDF("id_a", "id_b"), "doc_id", "q")
+      .collect().map(_.getString(0)).toSet
+    assert(keptNaN === Set("r"), "NaN-scored member must not win the argmax")
   }
 
   /** Independent reference for exactSubstringDedup (same semantics, plain

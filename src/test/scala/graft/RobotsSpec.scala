@@ -92,6 +92,13 @@ class RobotsSpec extends SparkSpec {
     val f = frontierOf("/private/x", "/private/ok", "/tmp/a", "/tmp/keep", "/open")
     assert(allowed(f, parsed, ua = "GraftBot") === Set("/private/ok", "/tmp/a", "/tmp/keep", "/open"))
     assert(allowed(f, parsed) === Set("/private/x", "/private/ok", "/tmp/keep", "/open"))
+    // bare-CR terminators (§2.1) and a UTF-8 BOM must not drop rules
+    // (both would otherwise silently fail OPEN)
+    val crBom = Scheduler.parseRobots(Seq(("h.example",
+      "\uFEFFUser-agent: *\rDisallow: /cr\rAllow: /cr/ok")).toDF("host", "body"))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(crBom === Set(("disallow", "/cr"), ("allow", "/cr/ok")))
+
     // a second User-agent AFTER rules opens a NEW group (does not extend)
     val regroup = Scheduler.parseRobots(Seq(("h.example",
       "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y")).toDF("host", "body"))
