@@ -56,6 +56,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 3.0) < 1e-9)
   }
 
+  test("pageRank matches the reference on random graphs (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(40)((s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}")).distinct
+      val got = run(edges, 6)
+      val want = refPageRank(edges, 6)
+      assert(got.keySet === want.keySet, s"seed $seed")
+      want.foreach { case (n, w) =>
+        assert(math.abs(got(n) - w) < 1e-9, s"seed $seed node $n") }
+    }
+  }
+
   test("pageRank releases its iteration caches (edges/nodes unpersisted on return)") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.size

@@ -652,6 +652,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped.filter(col("domain").isNotNull).count() === 8L) // 2 keys x 5 rows, capped at 4
   }
 
+  test("capPerKey equals the windowed reference on random keyed data (3 seeds)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 200L).map(i => (i, rnd.nextInt(8).toLong))
+      val df = rows.toDF("id", "key")
+      val cap = 1 + rnd.nextInt(6)
+      val got = PipelineOps.capPerKey(df, "key", "id", cap, seed = s"s$seed")
+        .select("id").as[Long].collect().toSet
+      val coin = md5(concat_ws("|", lit(s"s$seed"), col("id").cast("string")))
+      val want = df.withColumn("__c", coin)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("__c"), col("id"))))
+        .filter(col("rn") <= cap).select("id").as[Long].collect().toSet
+      assert(got === want, s"seed $seed cap $cap")
+    }
+  }
+
   test("capPerKey: reserved-column guard and k=1") {
     import spark.implicits._
     val bad = Seq((1L, 2L, "x")).toDF("id", "domain", "__cap_coin")
