@@ -120,6 +120,21 @@ object TrainingPipelineDemo {
     val top = hostRanks.orderBy(desc("rank")).limit(1).collect().head
     println(f"pagerank: ${hostRanks.count()} hosts ranked, top=${top.getString(0)}@${top.getDouble(1)}%.3f")
 
+    // 3e-ii) close the loop: the NEXT crawl consumes the ranks — rank-
+    // boosted hosts take the capped budget first
+    val crawl2 = graft.jobs.Crawl.run(spark, SyntheticWeb.pages(spark, n),
+      SyntheticWeb.seeds(spark, 120, n), Some(robotsRules), None, None,
+      graft.jobs.Crawl.Config(maxRounds = 2, perHostBudget = 40, numSlots = 8,
+        dedupSizeThreshold = 32, numShards = 4, maxPerRound = 60),
+      // scores scaled into the scheduler's log2 priority range (rank 3 vs 1
+      // is one priority level; x100 spreads the hierarchy across levels)
+      hostRanks = Some(hostRanks.withColumn("rank", col("rank") * 100)))
+    val r1 = crawl2.warcRows.filter(col("seq") === 0 && col("round") === 1)
+    val hot = r1.filter(col("host") === "host0.example").count()
+    println(s"rank-prioritized crawl: ${r1.count()} capped round-1 fetches, " +
+      s"$hot from the top-ranked host (rank boost puts its candidates first; " +
+      "the strict-ordering proof lives in CrawlSpec)")
+
     // 3f) per-domain frequency cap (the RefinedWeb rule) over the scanned
     // archive — exact via the bounded kth-smallest aggregate, no hot-host window
     val hosted = spark.read.format("graft.sources.WarcDataSource").load(warcDir)
