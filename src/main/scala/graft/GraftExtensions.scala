@@ -105,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hashes of all k-char shingles (cross-engine-reproducible MinHash input)", 2,
       args => graft.functions.PortableShingleHashes(args.head,
         intLit(args(1), "portable_shingle_hashes k")))
+    register(ext, "rolling_token_hashes",
+      "rolling_token_hashes(tokens, k) - O(n) rolling polynomial hashes of " +
+        "all k-token windows (exact-substring dedup's fast shingle key)", 2,
+      args => graft.functions.RollingTokenHashes(args.head,
+        intLit(args(1), "rolling_token_hashes k")))
     register(ext, "graft_bpe_encode",
       "graft_bpe_encode(text) - struct<tokens array<string>, ids array<int>> " +
         "under the frozen BpeFixture merge table (unknown tokens: id -1)", 1,

@@ -90,6 +90,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(htmlRows.getString(0) === "a & b")
     assert(htmlRows.getString(1) === "T")
     assert(spark.sql("SELECT graft_nfc('Cafe\\u0301')").head().getString(0) === "Caf\u00e9")
+
+    // rolling window hashes through the SQL door agree with the API
+    val roll = spark.sql(
+      "SELECT rolling_token_hashes(array('a', 'b', 'c', 'a', 'b'), 2) AS h").head()
+      .getSeq[Long](0)
+    assert(roll.length === 4 && roll(0) === roll(3), // 'a b' window repeats
+      roll.toString)
   }
 
   test("graft_bpe_encode is SQL-reachable, identical to the API") {
