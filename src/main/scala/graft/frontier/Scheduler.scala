@@ -33,7 +33,11 @@ object Scheduler {
       maxPerRound: Long = Long.MaxValue,
       numSlots: Int = 32, // politeness partitions (= executor-task slots)
       salt: Int = 0, // deterministic per-round slot salt
-      userAgent: String = "*") // robots group selection (RFC 9309 §2.2.1)
+      userAgent: String = "*", // robots group selection (RFC 9309 §2.2.1)
+      // when > 0: a host's per-round budget additionally clamps to
+      // floor(roundWindowSec / its Crawl-delay) — a 10 s delay in a 300 s
+      // round window admits at most 30 fetches (de-facto politeness)
+      roundWindowSec: Long = 0L)
 
   /**
    * Raw candidates -> canonicalized, deduped-within-round frontier rows.
@@ -75,6 +79,25 @@ object Scheduler {
       .select(col("host"), col("r.user_agent").as("user_agent"),
         col("r.rule_type").as("rule_type"), col("r.path_prefix").as("path_prefix"))
 
+  /** Per-host Crawl-delay seconds from a parsed rules frame (de-facto
+    * directive, group-scoped like the path rules): the `userAgent` group's
+    * delay when one exists, else the `*` group's; the MOST CONSERVATIVE
+    * (max) value wins within a group. Hosts without a delay are absent. */
+  def crawlDelays(robots: DataFrame, userAgent: String = "*"): DataFrame = {
+    val uaCol =
+      if (robots.columns.contains("user_agent")) coalesce(col("user_agent"), lit("*"))
+      else lit("*")
+    val d = robots.filter(col("rule_type") === "crawl-delay")
+      .select(col("host"), lower(uaCol).as("ua"),
+        col("path_prefix").cast("long").as("delay_s"))
+      .filter(col("delay_s").isNotNull && col("delay_s") > 0)
+    d.groupBy("host").agg(
+      max(when(col("ua") === userAgent.toLowerCase, col("delay_s"))).as("__mine"),
+      max(when(col("ua") === "*", col("delay_s"))).as("__star"))
+      .select(col("host"), coalesce(col("__mine"), col("__star")).as("crawl_delay_s"))
+      .filter(col("crawl_delay_s").isNotNull)
+  }
+
   /**
    * RFC 9309 gate: a URL is fetchable unless the most specific matching rule
    * for its host disallows it. Rules are tiny (per-host config) -> broadcast
@@ -106,6 +129,9 @@ object Scheduler {
       if (robots.columns.contains("user_agent")) coalesce(col("user_agent"), lit("*"))
       else lit("*")
     val rules = robots
+      // path rules only: a parseRobots frame may carry group-scoped
+      // crawl-delay rows, whose VALUE would otherwise be read as a pattern
+      .filter(col("rule_type").isin("allow", "disallow"))
       .withColumn("ua", lower(uaCol))
       .withColumn("like_pat", likePat)
       .withColumn("len", length(col("path_prefix")))
@@ -152,9 +178,19 @@ object Scheduler {
     // per-host budget: ranking-window top-k (SURVEY W5)
     val wHost = Window.partitionBy(col("host"))
       .orderBy(col("priority").asc, col("discovery_time").asc, col("url_key").asc)
-    val budgeted = fresh
-      .withColumn("host_seq", row_number().over(wHost))
-      .filter(col("host_seq") <= cfg.perHostBudget)
+    val seqd = fresh.withColumn("host_seq", row_number().over(wHost))
+    val budgeted =
+      if (cfg.roundWindowSec > 0 && robots.isDefined) {
+        // Crawl-delay clamp: the delays table is host-dimension-small ->
+        // broadcast; hosts without a delay keep the configured budget
+        val delays = broadcast(crawlDelays(robots.get, cfg.userAgent)
+          .withColumn("__cap", greatest(lit(1L),
+            floor(lit(cfg.roundWindowSec) / col("crawl_delay_s")).cast("long"))))
+        seqd.join(delays.select(col("host"), col("__cap")), Seq("host"), "left")
+          .filter(col("host_seq") <= least(lit(cfg.perHostBudget.toLong),
+            coalesce(col("__cap"), lit(cfg.perHostBudget.toLong))))
+          .drop("__cap")
+      } else seqd.filter(col("host_seq") <= cfg.perHostBudget)
 
     val capOrder = Seq(col("priority").asc, col("host_seq").asc,
       col("discovery_time").asc, col("url_key").asc)

@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Spec choices (cf. the RobotsSpec goldens for the consumer semantics):
  *  - comments (`#` to end of line) stripped, blank lines skipped
- *  - keys case-insensitive; unknown directives (Crawl-delay, Sitemap, …)
- *    ignored
+ *  - keys case-insensitive; Crawl-delay (de-facto, group-scoped) is kept
+ *    as a `crawl-delay` row for [[graft.frontier.Scheduler.crawlDelays]];
+ *    other unknown directives (Sitemap, …) ignored
  *  - rules BEFORE any User-agent line are ignored (outside any group)
  *  - an EMPTY Allow/Disallow value matches nothing (§2.2.2) and is dropped
  *    here — the LIKE translation downstream would otherwise read "" as
@@ -59,6 +60,15 @@ object RobotsParseUtil {
               if (group.nonEmpty) {
                 lastWasRule = true
                 if (value.nonEmpty) group.foreach(ua => out += ((ua, key, value)))
+              }
+            case "crawl-delay" =>
+              // de-facto extension (not RFC 9309, but widely served): kept
+              // as a group-scoped row so Scheduler.crawlDelays can budget
+              // politeness; non-numeric values dropped
+              if (group.nonEmpty) {
+                lastWasRule = true
+                if (value.nonEmpty && value.forall(c => c.isDigit))
+                  group.foreach(ua => out += ((ua, key, value)))
               }
             case _ => // unknown directive: ignored, does not break the group
           }

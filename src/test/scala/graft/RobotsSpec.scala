@@ -86,6 +86,7 @@ class RobotsSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
     assert(got === Set(
       ("graftbot", "disallow", "/private/"), ("graftbot", "allow", "/private/ok"),
+      ("graftbot", "crawl-delay", "5"), ("otherbot", "crawl-delay", "5"),
       ("otherbot", "disallow", "/private/"), ("otherbot", "allow", "/private/ok"),
       ("*", "disallow", "/tmp/*"), ("*", "allow", "/tmp/keep$")))
     // end-to-end: parsed rules drive the same gate as hand-built rules
@@ -98,6 +99,31 @@ class RobotsSpec extends SparkSpec {
       "\uFEFFUser-agent: *\rDisallow: /cr\rAllow: /cr/ok")).toDF("host", "body"))
       .collect().map(r => (r.getString(2), r.getString(3))).toSet
     assert(crBom === Set(("disallow", "/cr"), ("allow", "/cr/ok")))
+
+    // Crawl-delay: group-scoped, parsed as rows, conservative max, and the
+    // round-window budget clamp in schedule()
+    val delayBody = "User-agent: GraftBot\nCrawl-delay: 10\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 30\nCrawl-delay: 60\nDisallow: /y"
+    val delayRules = Scheduler.parseRobots(
+      Seq(("h.example", delayBody)).toDF("host", "body"))
+    val d = Scheduler.crawlDelays(delayRules, "GraftBot").collect()
+    assert(d.head.getLong(1) === 10L)
+    assert(Scheduler.crawlDelays(delayRules).head().getLong(1) === 60L) // max wins
+    // the delay rows must NOT leak into the path gate
+    assert(allowed(frontierOf("/10", "/z"), delayRules) === Set("/10", "/z"))
+    // schedule: 300 s window / 60 s delay -> at most 5 of the 10 candidates
+    val cand = (0 until 10).map(i => s"http://h.example/c$i")
+    val frontier10 = cand.toDF("url").select(col("url"), lit(1).as("priority"),
+      timestamp_seconds(lit(1700000000L)).as("discovery_time"),
+      lit(0).as("depth"), lit("seed").as("via"))
+    val sched = Scheduler.schedule(spark, frontier10, Seq.empty[String].toDF("url_key"),
+      None, Some(delayRules), Scheduler.Config(perHostBudget = 40, numSlots = 2,
+        roundWindowSec = 300))
+    assert(sched.count() === 5, "crawl-delay clamp must bound the host budget")
+    // window off -> full budget
+    val schedOff = Scheduler.schedule(spark, frontier10, Seq.empty[String].toDF("url_key"),
+      None, Some(delayRules), Scheduler.Config(perHostBudget = 40, numSlots = 2))
+    assert(schedOff.count() === 10)
 
     // a second User-agent AFTER rules opens a NEW group (does not extend)
     val regroup = Scheduler.parseRobots(Seq(("h.example",
