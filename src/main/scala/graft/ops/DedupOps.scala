@@ -338,39 +338,91 @@ object DedupOps {
     val k = chunkTokens
     val toksed = df.select(col(idCol).as("id"), col(ord).as("ord"),
       TextOps.tokens(col(textCol)).as("toks"))
-    // token-bearing docs only; empty docs rejoin (unchanged) at the end
-    val chunks = toksed.filter(size(col("toks")) > 0)
-      .withColumn("n_chunks",
-        ceil(size(col("toks")).cast("double") / k).cast("long"))
-      .select(col("id"), col("ord"), col("n_chunks"),
-        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
-          i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"), lit(k))))))
-      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
-    val withKeep =
-      if (windowed) {
-        val w = Window.partitionBy(col("chunk")).orderBy(col("ord"), col("idx"))
-        chunks.withColumn("keep", row_number().over(w) === 1)
-      } else {
-        val firsts = chunks.groupBy(col("chunk"))
-          .agg(min(struct(col("ord"), col("idx"))).as("__first"))
-        chunks.join(firsts, Seq("chunk"))
-          .withColumn("keep",
-            col("ord") === col("__first.ord") && col("idx") === col("__first.idx"))
-          .drop("__first")
+    if (windowed) {
+      // semantics-reference form (DedupOpsSpec equality property): chunk
+      // STRINGS + a window over the chunk value — serializes hot chunks,
+      // never on a production path
+      val chunks = toksed.filter(size(col("toks")) > 0)
+        .withColumn("n_chunks",
+          ceil(size(col("toks")).cast("double") / k).cast("long"))
+        .select(col("id"), col("ord"), col("n_chunks"),
+          posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+            i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"), lit(k))))))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      val w = Window.partitionBy(col("chunk")).orderBy(col("ord"), col("idx"))
+      val withKeep = chunks.withColumn("keep", row_number().over(w) === 1)
+      val kept = withKeep
+        .groupBy(col("id"))
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(col("keep"), struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk"))).as("text"),
+          max(col("n_chunks")).as("n_chunks"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+      df.select(col(idCol).as("id")).join(kept, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("text"), lit("")).as("text"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    } else {
+      // Aggregate form, restructured round 7 on the exactSubstringDedup
+      // shape (guide §2.3/§8 "decide with small rows, move big rows once"):
+      //  - chunk identity travels as xxhash64 of the TOKEN SLICE — no chunk
+      //    string is ever built or shuffled (identical grouping: tokens
+      //    contain no whitespace, so slice equality == joined-string
+      //    equality; a 64-bit collision could only over-drop one chunk, at
+      //    ~1e-19 per chunk pair — the repo-wide 64-bit discipline);
+      //  - occurrence counts are a pure HashAggregate and only cnt >= 2
+      //    keys go on (the round-6 single min(struct)+count aggregate
+      //    SORT-aggregated the full chunk-string stream twice);
+      //  - the min(struct) SortAggregate runs over duplicate rows only,
+      //    behind one small exchange both consumers reuse;
+      //  - the text is rebuilt from the ORIGINAL token array by dropping
+      //    the dropped chunks' token ranges — the rebuilt concat is
+      //    byte-identical to concatenating the kept chunk strings.
+      val chunks = toksed.filter(size(col("toks")) > 0)
+        .select(col("id"), col("ord"),
+          posexplode(transform(
+            sequence(lit(0L), ceil(size(col("toks")).cast("double") / k).cast("long") - 1),
+            i => xxhash64(slice(col("toks"), (i * k + 1).cast("int"), lit(k))))))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "h")
+      // first-occurrence min kept HASH-aggregable via the decimal (ord, idx)
+      // encoding when ord is integral (see exactSubstringDedup — same
+      // rationale: min(struct) forces a SortAggregate over the full chunk
+      // stream); the cnt >= 2 side is tiny and broadcasts explicitly
+      val ordIntegral = df.schema(ord).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
       }
-    val kept = withKeep
-      .groupBy(col("id"))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("keep"), struct(col("idx"), col("chunk"))))),
-          s => s.getField("chunk"))).as("text"),
-        max(col("n_chunks")).as("n_chunks"),
-        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
-    df.select(col(idCol).as("id")).join(kept, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      val dropped =
+        if (ordIntegral) {
+          val enc = col("ord").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            lit(2147483648L) + col("idx")
+          val firsts = chunks.groupBy("h")
+            .agg(min(enc).as("fenc"), count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2).select(col("h"), col("fenc"))
+          chunks.join(broadcast(firsts), Seq("h"))
+            .filter(enc =!= col("fenc"))
+            .groupBy("id").agg(collect_list(col("idx")).as("__didx"))
+        } else {
+          val firsts = chunks.groupBy("h")
+            .agg(min(struct(col("ord"), col("idx"))).as("__first"), count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2).select(col("h"), col("__first"))
+          chunks.join(broadcast(firsts), Seq("h"))
+            .filter(!(col("ord") === col("__first.ord") && col("idx") === col("__first.idx")))
+            .groupBy("id").agg(collect_list(col("idx")).as("__didx"))
+        }
+      toksed.join(dropped, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(when(col("__didx").isNull, concat_ws(" ", col("toks")))
+            .otherwise(concat_ws(" ", filter(col("toks"), (_, i) =>
+              !exists(col("__didx"), d => i >= d * k && i < d * k + k)))),
+            lit("")).as("text"),
+          coalesce(ceil(size(col("toks")).cast("double") / k).cast("long"), lit(0L))
+            .as("n_chunks"),
+          coalesce(size(col("__didx")).cast("long"), lit(0L)).as("n_dropped"))
+    }
   }
 
   /** SimHash near-duplicate pairs: banded candidates, Hamming-verified.
@@ -621,14 +673,14 @@ object DedupOps {
       when(c.isNull, raise_error(lit(
         s"exactSubstringDedup: null $what (would corrupt first-occurrence " +
           "selection and skip removal)"))).otherwise(c)
-    // repartition(id) stages the tokenized frame behind ONE exchange that
-    // BOTH consumers (the shingle pipeline and the output join) reuse —
-    // without it the source scan + tokenization runs twice (the q23
-    // self-join lesson)
+    // No repartition(id) staging: the round-6 plan showed the intended
+    // exchange reuse never fired (filter pushdown specialized each branch's
+    // subtree), so the id-shuffle only ever moved the token arrays for
+    // nothing; without it the rebuild join's dup side is tiny and AQE
+    // broadcasts it, so the corpus side never shuffles at all (guide §2.4).
     val toksed = df.select(nonNull(col(idCol), "id").as("id"),
       nonNull(col(ord), "order column").as("ord"),
       TextOps.tokens(col(textCol)).as("toks"))
-      .repartition(col("id"))
     // fast path (default): O(n) rolling polynomial window hashes; portable
     // path: md5 of the joined slice, O(n·k) but replayable in the DuckDB
     // oracle (q85) — the q23-vs-q57 fast/portable split
@@ -640,12 +692,43 @@ object DedupOps {
     val shingled = toksed.filter(size(col("toks")) >= k)
       .select(col("id"), col("ord"), posexplode(keys))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
-    val firsts = shingled.groupBy("h")
-      .agg(min(struct(col("ord"), col("p"))).as("f"), count(lit(1)).as("cnt"))
-    val dups = shingled.join(firsts, Seq("h"))
-      .filter(col("cnt") >= 2 &&
-        !(col("ord") === col("f.ord") && col("p") === col("f.p")))
-      .groupBy("id").agg(sort_array(collect_list(col("p"))).as("__dpos"))
+    // First-occurrence selection kept HASH-aggregable (round-7, guide §2.3):
+    // the round-6 min(struct(ord, p)) forced a SortAggregate — the whole
+    // shingle stream was sorted twice (partial + final) just to pick a
+    // lexicographic min. With an integral order column, (ord, p) encodes
+    // losslessly into ONE decimal(38,0) = ord * 2^31 + p (p is a
+    // non-negative posexplode int < 2^31, so the encoding is order-
+    // preserving for ANY long ord incl. negatives), and min(decimal) is a
+    // plain HashAggregate with map-side partial combine. Non-integral order
+    // columns keep the struct form (SortAggregate — correct, just slower).
+    val ordIntegral = df.schema(ord).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // the cnt >= 2 side is tiny for any sane corpus — broadcast explicitly
+    // (the round-6 plan broadcast the same filtered aggregate; left to AQE
+    // estimates, the 40 MiB exploded side was broadcast instead). A corpus
+    // where the duplicated-shingle dictionary itself outgrows broadcast
+    // would drop the hint and let the join shuffle (AQE skew-splits it).
+    val dups =
+      if (ordIntegral) {
+        val enc = col("ord").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          lit(2147483648L) + col("p")
+        val firsts = shingled.groupBy("h")
+          .agg(min(enc).as("fenc"), count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select(col("h"), col("fenc"))
+        shingled.join(broadcast(firsts), Seq("h"))
+          .filter(enc =!= col("fenc"))
+          .groupBy("id").agg(sort_array(collect_list(col("p"))).as("__dpos"))
+      } else {
+        val firsts = shingled.groupBy("h")
+          .agg(min(struct(col("ord"), col("p"))).as("f"), count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select(col("h"), col("f"))
+        shingled.join(broadcast(firsts), Seq("h"))
+          .filter(!(col("ord") === col("f.ord") && col("p") === col("f.p")))
+          .groupBy("id").agg(sort_array(collect_list(col("p"))).as("__dpos"))
+      }
     toksed.join(dups, Seq("id"), "left")
       .withColumn("__kept",
         when(col("__dpos").isNull, col("toks"))
