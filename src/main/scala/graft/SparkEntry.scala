@@ -622,7 +622,8 @@ object SparkEntry {
         TextOps.tokens(col("text")).as("toks"),
         TextOps.docLines(col("text")).as("lines"))
         .withColumn("grams", TextOps.wordNgramsFromTokens(col("toks"), 2))
-        .localCheckpoint(true) // two branches (row signals + gram agg) share one tokenize
+        .localCheckpoint(false) // two branches (row signals + gram agg) share
+        // one tokenize; lazy — the first branch's job materializes it
       val top = TextOps.topNgramCharFractionAgg(staged, "doc_id", "grams", "text_len")
         .withColumnRenamed("top_ngram_char_frac", "top_2gram_char_frac")
       val signals = staged.select(col("doc_id"),
@@ -930,7 +931,8 @@ object SparkEntry {
       // scoreFeatures reuse path); staged like q55/q57 — a production run
       // would persist to storage instead
       val feats = graft.ops.Classifier.features(docs, "doc_id", "text", 256)
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: trainOnFeatures' label count is the
+      // first action and materializes it — one job, not two
       val model = graft.ops.Classifier.trainOnFeatures(feats,
         docs.select(col("doc_id").as("id"), col("y")), epochs = 2, lr = 0.5)
       graft.ops.Classifier.scoreFeatures(feats, model)

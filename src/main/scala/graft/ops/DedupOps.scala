@@ -114,10 +114,14 @@ object DedupOps {
     // ~2^-64 birthday at corpus scale — negligible; outputs are unchanged.
     val grouped = prep.groupBy(md5(col("norm")).as("fp"))
       .agg(sort_array(collect_list(col("id"))).as("ids"),
-        min(struct(col("id"), col("norm"))).as("rep"))
+        first(col("norm")).as("norm"))
     val groups = grouped.select(col("ids")) // member expansion needs ids only
-    // min(struct(id, norm)).id == element_at(sorted ids, 1): same representative
-    val reps = grouped.select(col("rep.id").as("id"), col("rep.norm").as("norm"))
+    // every norm in a group is IDENTICAL (the group key is md5(norm)), so
+    // first(norm) is value-deterministic and the representative id is
+    // element_at(sorted ids, 1) — same rep as the round-6 min(struct(id,
+    // norm)), but the aggregate stays in ObjectHashAggregate instead of
+    // falling to a SortAggregate over the corpus for the struct min
+    val reps = grouped.select(element_at(col("ids"), 1).as("id"), col("norm"))
 
     // ONE-PASS codegen kernel (q57's round-5 lesson applied to the fast
     // path): the sorted-distinct xxhash64 shingle hashes are computed in a
@@ -256,7 +260,8 @@ object DedupOps {
     // production-scale run would persist this to storage instead.
     val withH = prep.select(col("id"),
       graft.functions.SketchExprs.portable_shingle_hashes(col("norm"), k).as("hs"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materializes inside the first consumer's
+    // job instead of a dedicated eager job (measured ~0.4 s at sf0.1, Q57Var)
     // per-slot min of XOR-salted hashes; `hs` is a checkpointed attribute so
     // each of the numHashes min-passes reads the long array, not the md5
     // expression (HOF-recompute discipline; md5 is ~16x the XOR cost)
@@ -571,6 +576,10 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // ONE Spark job per iteration (round 7; was three): propagate and
+      // pointer-jump fuse into a single plan whose final localCheckpoint is
+      // the only action, and the convergence count rides that same action
+      // as an `observe` metric instead of a separate join + count job.
       // (1) propagate: every vertex takes the min of its own and its
       // neighbors' labels (map-side partial min before the shuffle)
       val nbrMin = edges
@@ -581,19 +590,30 @@ object DedupOps {
         .join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // (2) pointer-jump: label <- label(label), halving chain depth
-      // (self-join of the CHECKPOINTED frame: fixed attributes, no
-      // ambiguous-lineage analysis trap)
-      val next = propagated
+      // (2) pointer-jump: label <- label(label), halving chain depth. The
+      // self-join runs over the UN-materialized propagate plan: both
+      // traversals canonicalize to the same exchanges, so the shuffle work
+      // is shared (ReuseExchange); the rename keeps attributes unambiguous.
+      val jumped = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+      // (3) convergence metric on the checkpoint action itself: join the
+      // (checkpointed, narrow) previous labels back and observe the change
+      // count — no extra scan, no extra job
+      val obs = new org.apache.spark.sql.Observation(s"cc-iter-$iter")
+      val next = jumped
+        .join(labels.select(col("id"), col("label").as("__cc_old")), Seq("id"))
+        .observe(obs,
+          sum(when(col("label") =!= col("__cc_old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("label"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
       labels = next
+      val changed = obs.get.get("changed") match {
+        case Some(null) => 0L // empty graph: sum over zero rows is null
+        case Some(v) => v.asInstanceOf[Long]
+        case None => 0L
+      }
       converged = changed == 0
       iter += 1
     }

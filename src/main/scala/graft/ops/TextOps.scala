@@ -759,7 +759,8 @@ object TextOps {
     val trainToks = lmToks(train, idCol, textCol)
     val uni = trainToks.select(explode(col("__lm_toks")).as("__lm_w"))
       .groupBy("__lm_w").agg(count(lit(1)).as("__lm_cnt"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the V count right below is the first
+    // action, so the vocab table materializes inside it (one job, not two)
     val v = uni.filter(col("__lm_cnt") >= minCount).count() + 1
     val umap = uni.select(col("__lm_w"),
       when(col("__lm_cnt") >= minCount, col("__lm_w")).otherwise(unk).as("__lm_u"),
