@@ -664,8 +664,10 @@ object SparkEntry {
       // buckets, and the cosine verification (q25 keeps xxhash64 planes)
       val e = t(s, dir, "embeddings")
         .withColumn("vq", transform(col("embedding"), x => round(x * 1000, 0).cast("double")))
+      // dim=64 (the embeddings fixture dimension) folds every hyperplane
+      // component to a literal at plan time — same values, no runtime md5
       DedupOps.embeddingNearDupPairsPortable(e, "vec_id", "vq",
-        numPlanes = 8, threshold = 0.3)
+        numPlanes = 8, threshold = 0.3, dim = 64)
         .orderBy("id_a", "id_b")
     }),
 

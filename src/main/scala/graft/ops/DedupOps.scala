@@ -850,19 +850,47 @@ object DedupOps {
    * verification (q58). Pass a pre-quantized vector column.
    */
   def embeddingNearDupPairsPortable(df: DataFrame, idCol: String, vecCol: String,
-                                    numPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+                                    numPlanes: Int = 8, threshold: Double = 0.95,
+                                    dim: Int = 0): DataFrame = {
     def comp(p: Column, i: Column): Column =
       graft.ops.PipelineOps.hashUnit(
         concat(lit("hp:"), p.cast("string"), lit(":"), i.cast("string"))) * 2 - 1
+    // Round 7: the plane components are DATA-INDEPENDENT md5 constants —
+    // with a known dimension they fold to literals at plan time
+    // ([[PipelineOps.hashUnitConst]] replicates Spark's
+    // conv(substring(md5,1,8),16,10)/2^32 chain bit-for-bit), so the
+    // runtime md5-per-(row, plane, component) work (numPlanes x dim per
+    // vector) disappears and the projection sum keeps the fold's exact
+    // left-to-right IEEE order (0.0 + x == x). Unknown/ragged dimensions
+    // keep the runtime path; a dim mismatch fails loudly, it cannot
+    // silently bucket differently.
+    val bucketExpr =
+      if (dim > 0) {
+        val planeBits = (0 until numPlanes).map { p =>
+          // the whole plane folds to ONE array literal (ConstantFolding);
+          // the zip_with/aggregate fold keeps the runtime path's exact
+          // left-to-right IEEE summation order
+          val planeArr = array((0 until dim).map(i =>
+            lit(graft.ops.PipelineOps.hashUnitConst(s"hp:$p:$i") * 2 - 1)): _*)
+          val dot = aggregate(
+            zip_with(col("v"), planeArr, (x, c) => x.cast("double") * c),
+            lit(0.0), (acc, t) => acc + t)
+          when(dot >= 0, lit("1")).otherwise(lit("0"))
+        }
+        when(size(col("v")) =!= dim, raise_error(lit(
+          s"embeddingNearDupPairsPortable: vector dimension != declared dim=$dim")))
+          .otherwise(concat_ws("", planeBits: _*))
+      } else
+        concat_ws("", transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+          val dot = aggregate(
+            zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+              (x, i) => x.cast("double") * comp(p, i)),
+            lit(0.0), (acc, t) => acc + t)
+          when(dot >= 0, lit("1")).otherwise(lit("0"))
+        }))
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", vecNorm(col("v")))
-      .withColumn("bucket", concat_ws("", transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-        val dot = aggregate(
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-            (x, i) => x.cast("double") * comp(p, i)),
-          lit(0.0), (acc, t) => acc + t)
-        when(dot >= 0, lit("1")).otherwise(lit("0"))
-      })))
+      .withColumn("bucket", bucketExpr)
       .repartition(col("bucket"))
     val l = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val r = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))

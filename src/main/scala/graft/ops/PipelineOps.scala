@@ -48,6 +48,18 @@ object PipelineOps {
     * signedness-agnostic). Slower than xxhash64 — use it where cross-engine
     * verifiability matters more than raw hash throughput (e.g. the
     * oracle-checked simhash variant, q56). */
+  /** Scala-side constant twin of [[hashUnit]]: the SAME md5-prefix chain
+    * (first 8 hex digits as an unsigned 32-bit value / 2^32) over a literal
+    * string, evaluated at plan-build time — for folding data-independent
+    * hash coins (e.g. SRP hyperplane components) into literals. Exact:
+    * integer-valued double < 2^32, then one IEEE division by a power of 2. */
+  def hashUnitConst(s: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+  }
+
   def portableHash64(c: Column): Column = {
     // two 32-bit halves via conv (each < 2^32, so the long cast never
     // overflows) recomposed with shiftleft|or — bit-identical to the signed
@@ -137,8 +149,17 @@ object PipelineOps {
     // secondary key id: ties in orderCol would otherwise land on
     // sampling-dependent sides of range boundaries, breaking run-to-run
     // determinism of the tape (ids are unique by contract)
+    // lazy checkpoint BEFORE the range exchange (round 7): range
+    // partitioning samples its child to pick boundaries, so the projection
+    // (which may carry an expensive tokenCount and wide carry columns) was
+    // evaluated TWICE — once for the sample pass, once for the real
+    // shuffle. The checkpoint materializes it during the sampling job and
+    // the shuffle reads the stored blocks. (A production run would persist
+    // this frame to storage; the materialization is corpus-order narrow
+    // rows — id, order, token count — plus any carry columns.)
     val parts = df.select(Seq(col(idCol).as("__pk_id"), col(orderCol).as("__pk_ord"),
         guarded.as("__pk_toks")) ++ carryCols.map(col): _*)
+      .localCheckpoint(false)
       .repartitionByRange(p, col("__pk_ord"), col("__pk_id"))
       .sortWithinPartitions("__pk_ord", "__pk_id")
     val schema = org.apache.spark.sql.types.StructType(parts.schema.fields ++ Seq(

@@ -317,14 +317,24 @@ object TextOps {
   def crossDocNgramReport(df: org.apache.spark.sql.DataFrame, idCol: String,
                           textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // Round 7 (guide §2.3): grams travel as 64-bit hashes — the counts are
+    // hash-independent output (the q52 argument: a collision could only
+    // merge two grams' identities at ~1e-19 per pair), so no gram string is
+    // built or shuffled. The explicit repartition on the gram hash is the
+    // ngramJaccardPairs pattern: the doc-frequency aggregate and the
+    // join-back consume hashpartitioning(g) from ONE exchange
+    // (ReuseExchange) instead of exploding the corpus twice. Only the
+    // df >= 2 SET joins back (a shared-or-not flag), not every gram's count.
     val grams = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"),
-        explode(array_distinct(wordNgramsFromTokens(col("__toks"), n))).as("g"))
-    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
-    grams.join(dfreq, "g")
+        explode(array_distinct(wordNgramHashesFromTokens(col("__toks"), n))).as("g"))
+      .repartition(col("g"))
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("g"), lit(1L).as("__shared"))
+    grams.join(hot, Seq("g"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        sum(coalesce(col("__shared"), lit(0L))).as("n_shared"))
       .withColumn("shared_frac",
         round(col("n_shared").cast("double") / col("n_grams"), 6))
   }
@@ -754,9 +764,22 @@ object TextOps {
     * compute; V rides as a driver scalar. */
   def trainBigramLm(train: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, minCount: Int = 5): BigramLm = {
+    // one tokenize for BOTH the unigram and the bigram aggregation: the
+    // (id, toks) frame stages behind a lazy localCheckpoint (round 7 —
+    // the two counting passes each re-ran the tokenizer before); guarded
+    // for streaming inputs, where checkpointing is illegal
+    val toks = lmToks(train, idCol, textCol)
+    trainBigramLmFromToks(
+      if (train.isStreaming) toks else toks.localCheckpoint(false), minCount)
+  }
+
+  /** [[trainBigramLm]] over a PRE-TOKENIZED `(__lm_id, __lm_toks)` frame —
+    * the reuse path when the same tokenization also feeds scoring
+    * ([[dsirSelect]], [[lmLogProbQ]]): tokenize once, consume many times. */
+  private[graft] def trainBigramLmFromToks(trainToks: org.apache.spark.sql.DataFrame,
+                                           minCount: Int): BigramLm = {
     require(minCount >= 1, "minCount must be >= 1")
     val unk = lit("<unk>")
-    val trainToks = lmToks(train, idCol, textCol)
     val uni = trainToks.select(explode(col("__lm_toks")).as("__lm_w"))
       .groupBy("__lm_w").agg(count(lit(1)).as("__lm_cnt"))
       .localCheckpoint(false) // lazy: the V count right below is the first
@@ -799,8 +822,18 @@ object TextOps {
     val clash = df.columns.filter(_.startsWith("__lm_"))
     require(clash.isEmpty,
       s"lmLogProbQMulti: input has reserved __lm_* column(s) ${clash.mkString(", ")}")
+    lmLogProbQMultiFromToks(lmToks(df, idCol, textCol), idCol, lms)
+  }
+
+  /** [[lmLogProbQMulti]] over a PRE-TOKENIZED `(__lm_id, __lm_toks)` frame
+    * (the tokenize-once reuse path; see [[trainBigramLmFromToks]]). */
+  private[graft] def lmLogProbQMultiFromToks(toks: org.apache.spark.sql.DataFrame,
+                                             idCol: String, lms: Seq[(String, BigramLm)])
+      : org.apache.spark.sql.DataFrame = {
+    require(lms.nonEmpty && lms.map(_._1).distinct.length == lms.length,
+      "lms must be non-empty with distinct names")
     val unk = lit("<unk>")
-    val pairs = lmPairs(lmToks(df, idCol, textCol))
+    val pairs = lmPairs(toks)
     val mapped = lms.foldLeft(pairs) { case (acc, (nm, lm)) =>
       acc.join(broadcast(lm.umap.select(col("__lm_w").as("__lm_w1"),
           col("__lm_u").as(s"__lm_${nm}_u1raw"))), Seq("__lm_w1"), "left")
@@ -836,8 +869,17 @@ object TextOps {
                  textCol: String, minCount: Int = 5,
                  train: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val lm = trainBigramLm(train.getOrElse(df), idCol, textCol, minCount)
-    lmLogProbQMulti(df, idCol, textCol, Seq("m" -> lm))
+    val clash = df.columns.filter(_.startsWith("__lm_"))
+    require(clash.isEmpty,
+      s"lmLogProbQ: input has reserved __lm_* column(s) ${clash.mkString(", ")}")
+    // self-trained batch path tokenizes the corpus ONCE for training (both
+    // counting passes) AND scoring — round 7; it tokenized three times
+    // before. Streaming score frames keep the checkpoint-free path.
+    val toks = lmToks(df, idCol, textCol)
+    val staged = if (df.isStreaming) toks else toks.localCheckpoint(false)
+    val lm = train.map(t => trainBigramLm(t, idCol, textCol, minCount))
+      .getOrElse(trainBigramLmFromToks(staged, minCount))
+    lmLogProbQMultiFromToks(staged, idCol, Seq("m" -> lm))
       .select(col(idCol), col("n_bigrams"), col("__lm_sum_m").as("__lm_sum"))
   }
 
@@ -877,9 +919,13 @@ object TextOps {
                  k: Int, minCount: Int = 5, seed: String = "dsir")
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // the corpus tokenizes ONCE (lazy checkpoint) for source-LM training
+    // AND scoring; the target once for its training (round 7 — previously
+    // 3 corpus + 2 target tokenize passes)
+    val sToks = lmToks(corpus, idCol, textCol).localCheckpoint(false)
     val tLm = trainBigramLm(target, idCol, textCol, minCount)
-    val sLm = trainBigramLm(corpus, idCol, textCol, minCount)
-    val sums = lmLogProbQMulti(corpus, idCol, textCol, Seq("t" -> tLm, "s" -> sLm))
+    val sLm = trainBigramLmFromToks(sToks, minCount)
+    val sums = lmLogProbQMultiFromToks(sToks, idCol, Seq("t" -> tLm, "s" -> sLm))
     // both sums ride the same row: the subtraction is exact integer
     // arithmetic (micro-nats), no join needed
     val logW = (col("__lm_sum_t") - col("__lm_sum_s")) / 1e6
