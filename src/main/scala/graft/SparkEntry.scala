@@ -653,8 +653,12 @@ object SparkEntry {
       // sketch pipeline itself into an oracle-checkable operator (q24 keeps
       // the fast xxhash64 kernel; empty-token docs excluded on both sides)
       val d = t(s, dir, "documents").filter(TextOps.tokenCount(col("text")) > 0)
-      DedupOps.simhashPairs(d, "doc_id", "text", maxHamming = 16,
-        tokenHash = graft.ops.PipelineOps.portableHash64)
+      // round 7: the per-token portable hash runs as the one-pass
+      // portable_hash64_tokens kernel (bit-identical to the HOF
+      // transform(toks, portableHash64) chain — same first-8-md5-bytes
+      // values, no per-token hex-string/conv detour)
+      DedupOps.simhashPairsH(d, "doc_id", "text", maxHamming = 16,
+        graft.functions.SketchExprs.portable_hash64_tokens)
         .orderBy("id_a", "id_b")
     }),
 

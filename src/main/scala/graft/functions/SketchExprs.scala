@@ -140,6 +140,48 @@ object SketchUtil {
     sortedDistinct(hs)
   }
 
+  /** Per-element portable md5-prefix hash of a string array (see
+    * [[PortableHash64Tokens]]). */
+  def portableHash64Tokens(toks: ArrayData): ArrayData = {
+    val md = Md5.get()
+    val out16 = new Array[Byte](16)
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val b = toks.getUTF8String(j).getBytes
+      md.reset()
+      md.update(b, 0, b.length)
+      md.digest(out16, 0, 16)
+      out(j) = ((out16(0) & 0xffL) << 56) | ((out16(1) & 0xffL) << 48) |
+        ((out16(2) & 0xffL) << 40) | ((out16(3) & 0xffL) << 32) |
+        ((out16(4) & 0xffL) << 24) | ((out16(5) & 0xffL) << 16) |
+        ((out16(6) & 0xffL) << 8) | (out16(7) & 0xffL)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass XOR-min signature over pre-hashed shingles (see [[XorMinSig]]). */
+  def xorMinSig(hashes: ArrayData, salts: Array[Long]): ArrayData = {
+    val m = salts.length
+    val sig = new Array[Long](m)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    val n = hashes.numElements()
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < m) {
+        val v = h ^ salts(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** sig[i] = min over PRE-HASHED shingles hs of xxhash64(i, seed=hs) —
     * bit-identical to [[minhashSig]] over the shingle strings, because the
     * Spark chain is seed 42 -> hashUTF8(s) -> hashInt(i) and a min over a
@@ -322,9 +364,51 @@ case class MinHashSigFromHashes(child: Expression, numHashes: Int) extends Unary
   override def prettyName: String = "minhash_sig_from_hashes"
 }
 
+/** `portable_hash64_tokens(tokens)`: per-element portable 64-bit md5-prefix
+  * hash of a string array — bit-identical to
+  * `transform(tokens, t => PipelineOps.portableHash64(t))` (first 8 md5
+  * bytes of the UTF-8 encoding, signed big-endian), but one thread-local
+  * digest and no hex-string/conv detour (the HOF form built a 32-char hex
+  * string and parsed it twice per token). */
+case class PortableHash64Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    SketchUtil.portableHash64Tokens(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchUtil.portableHash64Tokens($a);")
+  override protected def withNewChildInternal(c: Expression): PortableHash64Tokens = copy(child = c)
+  override def prettyName: String = "portable_hash64_tokens"
+}
+
+/** `xor_min_sig(hashes, salts)`: slot i = min over h of (h XOR salts(i)) —
+  * bit-identical to `array((0 until n).map(i => array_min(transform(hs,
+  * h => h.bitwiseXOR(salt_i)))))` (the portable MinHash signature), but one
+  * pass over the hash set with no per-slot array allocations. Empty input
+  * yields Long.MaxValue slots (unreachable from the shingle kernels, which
+  * emit at least the whole-text shingle). */
+case class XorMinSig(child: Expression, salts: Seq[Long]) extends UnaryExpression {
+  require(salts.nonEmpty, "at least one salt slot required")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val saltArr = salts.toArray
+  override protected def nullSafeEval(a: Any): Any =
+    SketchUtil.xorMinSig(a.asInstanceOf[ArrayData], saltArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("xorMinSalts", saltArr, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchUtil.xorMinSig($a, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): XorMinSig = copy(child = c)
+  override def prettyName: String = "xor_min_sig"
+}
+
 object SketchExprs {
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
+  def portable_hash64_tokens(tokens: Column): Column =
+    Bridge.column(PortableHash64Tokens(Bridge.expression(tokens)))
+  def xor_min_sig(hashes: Column, salts: Seq[Long]): Column =
+    Bridge.column(XorMinSig(Bridge.expression(hashes), salts))
   def simhash64_from_hashes(hashes: Column): Column =
     Bridge.column(SimHash64FromHashes(Bridge.expression(hashes)))
   def portable_shingle_hashes(text: Column, k: Int): Column =

@@ -262,12 +262,14 @@ object DedupOps {
       graft.functions.SketchExprs.portable_shingle_hashes(col("norm"), k).as("hs"))
       .localCheckpoint(false) // lazy: materializes inside the first consumer's
     // job instead of a dedicated eager job (measured ~0.4 s at sf0.1, Q57Var)
-    // per-slot min of XOR-salted hashes; `hs` is a checkpointed attribute so
-    // each of the numHashes min-passes reads the long array, not the md5
-    // expression (HOF-recompute discipline; md5 is ~16x the XOR cost)
+    // per-slot min of XOR-salted hashes, as ONE kernel pass over the hash
+    // set (round 7): the HOF form ran numHashes array_min(transform(...))
+    // passes, each allocating an XOR'd copy of the hash array per row —
+    // the kernel is bit-identical (same salts, same mins) with zero
+    // intermediate allocations
     val withSig = withH.withColumn("sig",
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("hs"), h => h.bitwiseXOR(lit(slotSalt(i)))))): _*))
+      graft.functions.SketchExprs.xor_min_sig(col("hs"),
+        (0 until numHashes).map(slotSalt)))
     val banded = withSig.select(col("id"),
       posexplode(array((0 until bandsCount).map(b =>
         concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
@@ -437,9 +439,19 @@ object DedupOps {
     * whole vote/band/Hamming machinery is then oracle-checkable, q56). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   tokenHash: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
+                   tokenHash: Column => Column = (c: Column) => xxhash64(c)): DataFrame =
+    simhashPairsH(df, idCol, textCol, maxHamming,
+      toks => transform(toks, t => tokenHash(t)))
+
+  /** [[simhashPairs]] with an ARRAY-level token-hash hook — lets callers
+    * plug a one-pass kernel (e.g. `portable_hash64_tokens`, bit-identical
+    * to the per-element HOF md5 chain but without the per-token hex-string
+    * detour) instead of a per-element `transform`. */
+  def simhashPairsH(df: DataFrame, idCol: String, textCol: String,
+                    maxHamming: Int,
+                    tokenHashes: Column => Column): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), transform(col("toks"), t => tokenHash(t)).as("th"))
+      .select(col("id"), tokenHashes(col("toks")).as("th"))
       .select(col("id"), graft.functions.SketchExprs.simhash64_from_hashes(col("th")).as("simhash"))
     val banded = withSim.select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band"), col("b.value"))
