@@ -903,6 +903,9 @@ object SparkEntry {
           ((col("doc_id") * 7 + 3) % 41).as("dst"))
         .union(docs.select((col("doc_id") % 41).as("src"),
           ((col("doc_id") * 13 + 5) % 41).as("dst")))
+      // (round 7: tried checkpointEvery=4 to skip the mid-run checkpoint —
+      // measured SLOWER, 1.0 -> 1.4 s: the iteration-3 cut also keeps the
+      // final job's analyzed plan small. Default cadence kept.)
       graft.ops.GraphOps.pageRank(edges, "src", "dst",
           iterations = 4, damping = 0.5)
         .select(col("node"), round(col("rank"), 6).as("rank"))

@@ -71,8 +71,10 @@ object Classifier {
                       epochs: Int = 3, lr: Double = 0.5): DataFrame = {
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     val spark = feats.sparkSession
+    // left_semi instead of join-on-distinct-ids: same rows (membership
+    // test), no distinct aggregate/exchange over the feature frame
     val labels = labelsIn.select(col("id"), col("y").cast("int").as("y"))
-      .join(feats.select("id").distinct(), Seq("id"))
+      .join(feats.select("id"), Seq("id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = labels.count() // scalar: sizes the gradient mean
     var model = spark.range(0).select(col("id").as("bucket"), col("id").as("wm"))
