@@ -227,6 +227,8 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars_nospace"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
@@ -299,6 +301,8 @@ object SparkEntry {
           col("doc_id").cast("string")),
         lit("text/plain"), col("text"))
       d.select(col("doc_id"), length(rec).cast("long").as("rec_len"), md5(rec).as("rec_md5"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
@@ -562,6 +566,8 @@ object SparkEntry {
     "q49_bpe_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
@@ -721,6 +727,8 @@ object SparkEntry {
       graft.ops.TextOps.piiReport(injected, "raw")
         .select(col("doc_id"), col("clean"), col("n_email"), col("n_phone"),
           col("n_phone_nat"), col("n_ipv6"), col("n_ip"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
@@ -830,6 +838,8 @@ object SparkEntry {
       graft.fetch.Fetch.outlinksFromHtml(fetched,
         graft.fetch.Fetch.Config(round = 1, roundEpoch = 1700000000L, parseLinks = true))
         .select(col("via"), col("url"), col("depth").cast("long").as("depth"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("via", "url")
     }),
 
@@ -1053,6 +1063,8 @@ object SparkEntry {
           graft.ops.TextOps.normalizeText(col("__raw")).as("text_norm"))
         .select(col("doc_id"), col("text_norm"),
           (col("text_norm") =!= col("__raw")).as("changed"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
@@ -1103,6 +1115,8 @@ object SparkEntry {
         col("__env"))
       staged.select(col("doc_id"), length(rec).cast("long").as("rec_len"),
         md5(rec).as("rec_md5"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
@@ -1130,6 +1144,8 @@ object SparkEntry {
         col("wet_text"))
       staged.select(col("doc_id"), length(rec).cast("long").as("rec_len"),
         md5(rec).as("rec_md5"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
@@ -1150,6 +1166,8 @@ object SparkEntry {
       html.select(col("doc_id"),
         TextOps.htmlTitle(col("html")).as("title"),
         TextOps.htmlToText(col("html")).as("clean"))
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-evaluates the whole narrow chain (round 7)
         .orderBy("doc_id")
     }),
 
