@@ -433,6 +433,8 @@ object SparkEntry {
     "q23_minhash_lsh" -> ((s, dir) => {
       DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 5, numHashes = 32, bandsCount = 8, threshold = 0.4)
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-runs the verify joins (round 7)
         .orderBy("id_a", "id_b")
     }),
 
@@ -691,6 +693,8 @@ object SparkEntry {
       // rows-only)
       DedupOps.minhashLshPairsPortable(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 5, numHashes = 16, bandsCount = 4, threshold = 0.4)
+        .localCheckpoint(false) // barrier: the final sort's range
+        // sampling otherwise re-runs the verify joins (round 7)
         .orderBy("id_a", "id_b")
     }),
 
