@@ -745,7 +745,12 @@ object TextOps {
    */
   case class BigramLm(umap: org.apache.spark.sql.DataFrame,
                       ctx: org.apache.spark.sql.DataFrame,
-                      model: org.apache.spark.sql.DataFrame, v: Long)
+                      model: org.apache.spark.sql.DataFrame,
+                      // V = |vocab| + 1 as a ONE-ROW frame (`__lm_v` BIGINT):
+                      // riding as a broadcast join instead of a collected
+                      // literal keeps training fully lazy (round 7 — the
+                      // count() action was one driver round-trip per model)
+                      vDf: org.apache.spark.sql.DataFrame)
 
   private def lmToks(d: org.apache.spark.sql.DataFrame, idCol: String, textCol: String) =
     d.select(col(idCol).as("__lm_id"), tokens(lower(col(textCol))).as("__lm_toks"))
@@ -782,9 +787,12 @@ object TextOps {
     val unk = lit("<unk>")
     val uni = trainToks.select(explode(col("__lm_toks")).as("__lm_w"))
       .groupBy("__lm_w").agg(count(lit(1)).as("__lm_cnt"))
-      .localCheckpoint(false) // lazy: the V count right below is the first
-    // action, so the vocab table materializes inside it (one job, not two)
-    val v = uni.filter(col("__lm_cnt") >= minCount).count() + 1
+      .localCheckpoint(false) // lazy: whichever consumer (V aggregate,
+    // umap broadcast, ctx) runs first materializes the vocab table once
+    // V as a lazy one-row aggregate (empty corpus: coalesce keeps V = 1,
+    // matching the old `count() + 1`)
+    val vDf = uni.agg((coalesce(sum(when(col("__lm_cnt") >= minCount, 1L)
+      .otherwise(0L)), lit(0L)) + 1L).as("__lm_v"))
     val umap = uni.select(col("__lm_w"),
       when(col("__lm_cnt") >= minCount, col("__lm_w")).otherwise(unk).as("__lm_u"),
       col("__lm_cnt"))
@@ -796,7 +804,7 @@ object TextOps {
         Seq("__lm_w2"), "left")
       .select(coalesce(col("u1"), unk).as("u1"), coalesce(col("u2"), unk).as("u2"))
     val model = mapped.groupBy("u1", "u2").agg(count(lit(1)).as("c2"))
-    BigramLm(umap, ctx, model, v)
+    BigramLm(umap, ctx, model, vDf)
   }
 
   /**
@@ -842,16 +850,21 @@ object TextOps {
     }.select(col("__lm_id") +: lms.flatMap { case (nm, _) => Seq(
       coalesce(col(s"__lm_${nm}_u1raw"), unk).as(s"__lm_${nm}_u1"),
       coalesce(col(s"__lm_${nm}_u2raw"), unk).as(s"__lm_${nm}_u2")) }: _*)
-    val scored = lms.foldLeft(mapped) { case (acc, (nm, lm)) =>
-      acc.join(lm.model.select(col("u1").as(s"__lm_${nm}_u1"),
-          col("u2").as(s"__lm_${nm}_u2"), col("c2").as(s"__lm_${nm}_c2")),
-          Seq(s"__lm_${nm}_u1", s"__lm_${nm}_u2"), "left")
-        .join(broadcast(lm.ctx.select(col("u1").as(s"__lm_${nm}_u1"),
-          col("c1").as(s"__lm_${nm}_c1"))), Seq(s"__lm_${nm}_u1"), "left")
+    val scored = lms.foldLeft(mapped.withColumn("__lm_one", lit(1))) {
+      case (acc, (nm, lm)) =>
+        acc.join(lm.model.select(col("u1").as(s"__lm_${nm}_u1"),
+            col("u2").as(s"__lm_${nm}_u2"), col("c2").as(s"__lm_${nm}_c2")),
+            Seq(s"__lm_${nm}_u1", s"__lm_${nm}_u2"), "left")
+          .join(broadcast(lm.ctx.select(col("u1").as(s"__lm_${nm}_u1"),
+            col("c1").as(s"__lm_${nm}_c1"))), Seq(s"__lm_${nm}_u1"), "left")
+          // V rides a broadcast one-row join (bm25's stats pattern): same
+          // long addition as the old collected literal, no driver action
+          .join(broadcast(lm.vDf.select(col("__lm_v").as(s"__lm_${nm}_v"))
+            .withColumn("__lm_one", lit(1))), Seq("__lm_one"))
     }
-    val sums = lms.map { case (nm, lm) =>
+    val sums = lms.map { case (nm, _) =>
       val lnp = log(coalesce(col(s"__lm_${nm}_c2"), lit(0L)) + 1) -
-        log(coalesce(col(s"__lm_${nm}_c1"), lit(0L)) + lit(lm.v))
+        log(coalesce(col(s"__lm_${nm}_c1"), lit(0L)) + col(s"__lm_${nm}_v"))
       sum(round(lnp * 1e6, 0).cast("long")).as(s"__lm_sum_$nm")
     }
     scored.groupBy("__lm_id")
