@@ -76,6 +76,15 @@ object Classifier {
     val labels = labelsIn.select(col("id"), col("y").cast("int").as("y"))
       .join(feats.select("id"), Seq("id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The count() is LOAD-BEARING beyond its scalar: it materializes the
+    // labels cache, so InMemoryRelation's stats become the ACTUAL bytes.
+    // A round-7 attempt to replace it with a lazy one-row broadcast left
+    // the cache un-materialized — every epoch's model checkpoint then
+    // rewrote stats from unbounded size ESTIMATES, and the per-epoch model
+    // joins square them: the sizeInBytes BigInteger grows super-
+    // exponentially in epochs and the checkpoint's stats visitor spins in
+    // BigInteger.multiply (observed: ClassifierSpec wedged for 20+ min in
+    // SizeInBytesOnlyStatsPlanVisitor). Keep the action.
     val n = labels.count() // scalar: sizes the gradient mean
     var model = spark.range(0).select(col("id").as("bucket"), col("id").as("wm"))
     for (_ <- 1 to epochs) {
@@ -86,7 +95,10 @@ object Classifier {
       val grad = feats.join(resid, Seq("id"))
         .groupBy("bucket")
         .agg(round(sum(col("x") * col("r")) / n, 0).cast("long").as("gm"))
-      // USING-join: the full-outer bucket column arrives pre-coalesced
+      // USING-join: the full-outer bucket column arrives pre-coalesced.
+      // Eager checkpoint kept: a lazy intermediate-epoch checkpoint was
+      // measured SLOWER (the next epoch's model broadcast then executes the
+      // previous epoch's whole compute inside its broadcast build).
       model = model.join(grad, Seq("bucket"), "full")
         .select(col("bucket"),
           (coalesce(col("wm"), lit(0L)) -
