@@ -151,8 +151,13 @@ object UrlCanon {
     if (c > 0) {
       val cand = rest.substring(0, c)
       val slash = rest.indexOf('/')
-      val validChars = cand.charAt(0).isLetter &&
-        cand.forall(ch => ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.')
+      // RFC 3986 §3.1: scheme = ASCII ALPHA *(ALPHA / DIGIT / "+" / "-" /
+      // "."). Unicode-aware isLetter accepted e.g. 'é:x' as a scheme
+      // (round-7 ADVICE), contradicting the strict-parser contract.
+      def asciiAlpha(ch: Char) = (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
+      val validChars = asciiAlpha(cand.charAt(0)) &&
+        cand.forall(ch => asciiAlpha(ch) || (ch >= '0' && ch <= '9') ||
+          ch == '+' || ch == '-' || ch == '.')
       if (validChars && (slash < 0 || c < slash)) { scheme = cand; rest = rest.substring(c + 1) }
     }
     var authority: String = null

@@ -141,8 +141,18 @@ object CdxIndex {
         else {
           val shard = f"cdx-$pid%05d.gz"
           val path = java.nio.file.Paths.get(rootStr).resolve(shard)
+          // task-attempt temp file + atomic rename (round-7 ADVICE): a
+          // retried/speculative attempt otherwise create-truncates the LIVE
+          // shard while the winning attempt's offsets describe it; with the
+          // rename, whichever attempt commits last installs a complete,
+          // self-consistent file (attempts write identical content — the
+          // input partition is deterministic)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = java.nio.file.Paths.get(rootStr)
+            .resolve(f".$shard%s.attempt-$attempt%d.tmp")
           val out = new java.io.BufferedOutputStream(
-            java.nio.file.Files.newOutputStream(path))
+            java.nio.file.Files.newOutputStream(tmp))
           var offset = 0L
           var seq = 0
           val rows = try {
@@ -160,6 +170,9 @@ object CdxIndex {
               row
             }.toVector // drain before closing the shard stream
           } finally out.close()
+          java.nio.file.Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           rows.iterator
         }
       }

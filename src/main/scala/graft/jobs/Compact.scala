@@ -68,8 +68,11 @@ object Compact {
                   sizeThreshold: Long = 64): DataFrame = {
     val recs = spark.read.format("graft.sources.WarcDataSource").load(warcDir)
       .filter(col("warc_type") =!= "warcinfo")
+    // null-safe size gate (round-7 ADVICE): a NULL-content response made
+    // the predicate NULL, so the record fell out of BOTH filter(isCand)
+    // and filter(!isCand) — silently deleted from the compacted archive
     val isCand = col("warc_type") === "response" &&
-      octet_length(col("content")) >= sizeThreshold
+      coalesce(octet_length(col("content")), lit(0L)) >= sizeThreshold
     // a stored digest is trusted; a digest-less archive (foreign tools,
     // keepDigests=false rewrites) still compacts — the digest is recomputed
     // over the payload cut (whole block when not an HTTP message), the same

@@ -363,8 +363,15 @@ object PipelineOps {
     val reserved = Seq("__cap_coin", "__cap_thr", "__cap_key").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"capPerKey: input already has reserved column(s) ${reserved.mkString(", ")}")
+    // loud null guard (round-7 ADVICE): concat_ws SKIPS null args, so every
+    // null-id row would get the identical md5(seed) coin — a key holding
+    // several null-id rows could then keep more than maxPerKey rows (the
+    // coin-uniqueness contract breaks). Fail loudly instead.
     val coined = df.withColumn("__cap_coin",
-      md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+      md5(concat_ws("|", lit(seed),
+        when(col(idCol).isNull, raise_error(lit(
+          "capPerKey: null id (coins must be unique per row)")))
+          .otherwise(col(idCol)).cast("string"))))
     val thresholds = coined.groupBy(col(keyCol).as("__cap_key"))
       .agg(graft.functions.KthSmallestAgg
         .kth_smallest_agg(col("__cap_coin"), maxPerKey).as("__cap_thr"))
